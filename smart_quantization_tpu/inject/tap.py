@@ -1,0 +1,151 @@
+"""The compression tap: a custom_vjp identity that fake-quantizes the primal
+(feature map) on the way forward and the cotangent (gradient map) on the way
+backward.
+
+TPU-native replacement for the reference's ``CompressorAutoGradFn`` dummy
+autograd nodes (/root/reference/smart_compress/util/pytorch/autograd.py:18-47):
+same dataflow — activations tagged ``forward_autograd``, gradient maps tagged
+``backward_autograd`` — but as a pure jittable op with explicit PRNG, so XLA
+can fuse it into the surrounding computation.  Gradient flow is
+straight-through: d(tap)/dx == quantized cotangent, exactly like the
+reference (backward honors ``ctx.needs_input_grad`` implicitly — JAX only
+materializes cotangents that are needed).
+
+Forward-side size stats are returned as traced scalars (and models `sow` them
+into a metrics collection); backward-side stats are data-dependent values
+produced inside the vjp, surfaced through an opt-in host callback sink since
+they cannot flow to the loss output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from smart_quantization_tpu.compress.base import CompressorBase, SizeStats
+from smart_quantization_tpu.inject.policy import DEFAULT_POLICY, LayerKind, TapPolicy
+
+# Opt-in host sink for backward-pass telemetry: fn(tag, orig_bits, new_bits).
+_BACKWARD_STATS_SINK: Callable | None = None
+
+
+def set_backward_stats_sink(sink: Callable | None) -> None:
+    global _BACKWARD_STATS_SINK
+    _BACKWARD_STATS_SINK = sink
+
+
+def _emit_backward_stats(stats: SizeStats) -> None:
+    if _BACKWARD_STATS_SINK is None:
+        return
+    jax.experimental.io_callback(
+        lambda o, n: _BACKWARD_STATS_SINK("backward_autograd", float(o), float(n)),
+        None,
+        stats.orig_bits,
+        stats.new_bits,
+        ordered=False,
+    )
+
+
+def compression_tap(
+    x: jax.Array,
+    key: jax.Array | None,
+    compressor: CompressorBase,
+    *,
+    compress_forward: bool = True,
+    compress_backward: bool = True,
+    gamma: jax.Array | None = None,
+    beta: jax.Array | None = None,
+) -> tuple[jax.Array, SizeStats]:
+    """Apply the tap; returns ``(y, forward SizeStats)``."""
+    if key is not None:
+        key_fwd, key_bwd = jax.random.split(key)
+    else:
+        key_fwd = key_bwd = None
+
+    identity_stats = SizeStats.of(x.size, 32, 32)
+
+    @jax.custom_vjp
+    def tap(x):
+        if compress_forward:
+            y, s = compressor(x, key_fwd, gamma=gamma, beta=beta)
+        else:
+            y, s = x, identity_stats
+        return y, (s.orig_bits, s.new_bits)
+
+    def tap_fwd(x):
+        return tap(x), None
+
+    def tap_bwd(_, cotangents):
+        g, _stat_ct = cotangents
+        if compress_backward:
+            g, s = compressor(g, key_bwd)
+            _emit_backward_stats(s)
+        return (g,)
+
+    tap.defvjp(tap_fwd, tap_bwd)
+    y, (orig_bits, new_bits) = tap(x)
+    return y, SizeStats(orig_bits, new_bits)
+
+
+@dataclasses.dataclass(frozen=True)
+class TapConfig:
+    """Everything a model needs to place compression taps.
+
+    Mirrors the reference wiring flags (util/train.py:134-163):
+    ``compress_forward`` / ``compress_backward`` and the layer policy;
+    ``use_batch_norm`` enables the BN-folded SmaQ variant at NORM taps
+    (autograd.py:63-72).
+    """
+
+    compressor: CompressorBase | None = None
+    compress_forward: bool = True
+    compress_backward: bool = True
+    policy: TapPolicy = DEFAULT_POLICY
+    use_batch_norm: bool = False
+
+    @property
+    def active(self) -> bool:
+        return self.compressor is not None and (
+            self.compress_forward or self.compress_backward
+        )
+
+
+def module_tap(
+    module,
+    x: jax.Array,
+    kind: LayerKind,
+    cfg: TapConfig | None,
+    *,
+    gamma: jax.Array | None = None,
+    beta: jax.Array | None = None,
+) -> jax.Array:
+    """Tap helper for flax modules: draws a 'compress' RNG, applies the tap
+    if the policy covers ``kind``, and sows size stats into the
+    ``compression_stats`` collection (retrievable with
+    ``apply(..., mutable=['compression_stats'])``)."""
+    if cfg is None or not cfg.active or not cfg.policy.should_tap(kind):
+        return x
+    needs_key = True  # compressors are cheap to hand a key even if unused
+    key = module.make_rng("compress") if needs_key else None
+    if not cfg.use_batch_norm:
+        gamma = beta = None
+    y, stats = compression_tap(
+        x,
+        key,
+        cfg.compressor,
+        compress_forward=cfg.compress_forward,
+        compress_backward=cfg.compress_backward,
+        gamma=gamma,
+        beta=beta,
+    )
+    module.sow(
+        "compression_stats",
+        "forward_autograd",
+        jnp.stack([stats.orig_bits, stats.new_bits]),
+        reduce_fn=lambda prev, new: prev + new,
+        init_fn=lambda: jnp.zeros((2,), jnp.float32),
+    )
+    return y

@@ -1,0 +1,242 @@
+"""BERT for sequence classification in flax (TPU-native).
+
+Re-design of the reference's wrapper around HF
+``BertForSequenceClassification``
+(/root/reference/smart_compress/models/bert.py:10-73): same capability
+surface — pretrained ``bert-base-uncased`` weights when available or a fresh
+config (bert.py:31-45), optional encoder freeze (bert.py:36-38), regression
+head for STSB vs classification otherwise (bert.py:61-70) — implemented as
+our own flax modules so compression taps reach every linear / norm /
+activation / attention output, exactly like the reference's monkey-patched
+layer coverage.
+
+Weight import: ``load_pretrained_params`` converts a torch
+``bert-base-uncased`` checkpoint (via transformers, if cached locally — this
+environment has no network) into our parameter tree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_quantization_tpu.inject.policy import LayerKind
+from smart_quantization_tpu.inject.tap import TapConfig, module_tap
+
+
+@dataclasses.dataclass(frozen=True)
+class BertConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    dropout_rate: float = 0.1
+    layer_norm_eps: float = 1e-12
+
+    @staticmethod
+    def tiny() -> "BertConfig":
+        """4-layer config for tests/smokes."""
+        return BertConfig(
+            vocab_size=1024, hidden_size=64, num_layers=2, num_heads=2,
+            intermediate_size=128, max_position_embeddings=128,
+        )
+
+
+_dense_init = nn.initializers.normal(stddev=0.02)
+
+
+class TappedDense(nn.Module):
+    features: int
+    tap: TapConfig | None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, kernel_init=_dense_init, name="dense")(x)
+        return module_tap(self, y, LayerKind.LINEAR, self.tap)
+
+
+class TappedLayerNorm(nn.Module):
+    eps: float
+    tap: TapConfig | None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        return module_tap(self, y, LayerKind.NORM, self.tap)
+
+
+class BertSelfAttention(nn.Module):
+    cfg: BertConfig
+    tap: TapConfig | None
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, attention_mask):
+        cfg = self.cfg
+        head_dim = cfg.hidden_size // cfg.num_heads
+        q = TappedDense(cfg.hidden_size, self.tap, name="query")(x)
+        k = TappedDense(cfg.hidden_size, self.tap, name="key")(x)
+        v = TappedDense(cfg.hidden_size, self.tap, name="value")(x)
+
+        def split_heads(t):
+            return t.reshape(*t.shape[:2], cfg.num_heads, head_dim)
+
+        q, k, v = map(split_heads, (q, k, v))
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
+        bias = (1.0 - attention_mask[:, None, None, :]) * -1e9
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        probs = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(probs)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        ctx = ctx.reshape(*x.shape[:2], cfg.hidden_size)
+        ctx = module_tap(self, ctx, LayerKind.ATTENTION, self.tap)
+
+        out = TappedDense(cfg.hidden_size, self.tap, name="output")(ctx)
+        out = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(out)
+        return TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="output_norm")(
+            out + x
+        )
+
+
+class BertLayer(nn.Module):
+    cfg: BertConfig
+    tap: TapConfig | None
+    train: bool
+
+    @nn.compact
+    def __call__(self, x, attention_mask):
+        cfg = self.cfg
+        x = BertSelfAttention(cfg, self.tap, self.train, name="attention")(
+            x, attention_mask
+        )
+        h = TappedDense(cfg.intermediate_size, self.tap, name="intermediate")(x)
+        h = nn.gelu(h, approximate=False)
+        h = module_tap(self, h, LayerKind.ACTIVATION, self.tap)
+        h = TappedDense(cfg.hidden_size, self.tap, name="ffn_output")(h)
+        h = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(h)
+        y = TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="ffn_norm")(h + x)
+        return module_tap(self, y, LayerKind.BLOCK, self.tap)
+
+
+class BertForSequenceClassification(nn.Module):
+    cfg: BertConfig
+    num_labels: int = 2
+    tap: TapConfig | None = None
+    freeze_encoder: bool = False
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 train: bool = True):
+        cfg = self.cfg
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids, jnp.float32)
+        attention_mask = attention_mask.astype(jnp.float32)
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(input_ids)
+
+        pos_ids = jnp.arange(input_ids.shape[1])[None, :]
+        emb = (
+            nn.Embed(cfg.vocab_size, cfg.hidden_size, embedding_init=_dense_init,
+                     name="word_embeddings")(input_ids)
+            + nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=_dense_init, name="position_embeddings")(pos_ids)
+            + nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                       embedding_init=_dense_init, name="token_type_embeddings")(
+                token_type_ids
+            )
+        )
+        x = TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="embeddings_norm")(emb)
+        x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
+        x = module_tap(self, x, LayerKind.EMBED, self.tap)
+
+        for i in range(cfg.num_layers):
+            x = BertLayer(cfg, self.tap, train, name=f"layer_{i}")(x, attention_mask)
+
+        if self.freeze_encoder:
+            # reference: requires_grad=False on bert.* (bert.py:36-38)
+            x = jax.lax.stop_gradient(x)
+
+        pooled = nn.tanh(
+            nn.Dense(cfg.hidden_size, kernel_init=_dense_init, name="pooler")(x[:, 0])
+        )
+        pooled = module_tap(self, pooled, LayerKind.ACTIVATION, self.tap)
+        pooled = nn.Dropout(cfg.dropout_rate, deterministic=not train)(pooled)
+        logits = nn.Dense(self.num_labels, kernel_init=_dense_init,
+                          name="classifier")(pooled)
+        return module_tap(self, logits, LayerKind.LINEAR, self.tap)
+
+
+# --------------------------------------------------------------- weight import
+def load_pretrained_params(model_name: str, cfg: BertConfig, num_labels: int):
+    """Convert a locally-cached torch BERT checkpoint to our param tree.
+
+    Returns None when transformers can't load offline (fresh init then, the
+    reference's --no_pretrained path)."""
+    try:
+        import torch  # noqa: F401
+        from transformers import BertModel
+
+        hf = BertModel.from_pretrained(model_name, local_files_only=True)
+    except Exception as e:  # no cache / no network
+        print(f"pretrained {model_name!r} unavailable offline ({type(e).__name__}); "
+              "using fresh init")
+        return None
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    def lin(prefix):
+        return {
+            "dense": {
+                "kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"],
+            }
+        }
+
+    def ln(prefix):
+        return {
+            "norm": {
+                "scale": sd[f"{prefix}.weight"],
+                "bias": sd[f"{prefix}.bias"],
+            }
+        }
+
+    params = {
+        "word_embeddings": {"embedding": sd["embeddings.word_embeddings.weight"]},
+        "position_embeddings": {
+            "embedding": sd["embeddings.position_embeddings.weight"]
+        },
+        "token_type_embeddings": {
+            "embedding": sd["embeddings.token_type_embeddings.weight"]
+        },
+        "embeddings_norm": ln("embeddings.LayerNorm"),
+        "pooler": {
+            "kernel": sd["pooler.dense.weight"].T,
+            "bias": sd["pooler.dense.bias"],
+        },
+        "classifier": {
+            "kernel": np.zeros((cfg.hidden_size, num_labels), np.float32),
+            "bias": np.zeros((num_labels,), np.float32),
+        },
+    }
+    for i in range(cfg.num_layers):
+        e = f"encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": lin(f"{e}.attention.self.query"),
+                "key": lin(f"{e}.attention.self.key"),
+                "value": lin(f"{e}.attention.self.value"),
+                "output": lin(f"{e}.attention.output.dense"),
+                "output_norm": ln(f"{e}.attention.output.LayerNorm"),
+            },
+            "intermediate": lin(f"{e}.intermediate.dense"),
+            "ffn_output": lin(f"{e}.output.dense"),
+            "ffn_norm": ln(f"{e}.output.LayerNorm"),
+        }
+    return jax.tree.map(jnp.asarray, params)

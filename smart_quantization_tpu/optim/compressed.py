@@ -1,0 +1,223 @@
+"""Low-precision optimizer step: quantize gradients, weights, and momentum
+state around the real (fp32) optimizer math.
+
+TPU-native re-design of the reference's ``OptimLP`` wrapper
+(/root/reference/smart_compress/util/pytorch/optimizer.py:7-149) and its
+wiring (hooks.py:22-34, models/base.py:137-163) on top of optax:
+
+- gradients are quantized (tag ``optimizer_grad``) before the update — the
+  reference also re-quantizes grads *after* the step (optimizer.py:88-97),
+  but post-step gradients are dead values in a functional update, so the
+  effective behavior is identical (documented reference quirk, SURVEY.md §7);
+- updated weights are quantized (tag ``optimizer_weight``) except for leaves
+  marked exempt — the reference exempts BatchNorm parameters via the
+  ``no_weight_compression`` param group (models/base.py:141-150);
+- momentum state is quantized (tag ``optimizer_momentum``): SGD's trace
+  buffer; Adam/AdamW's ``mu`` and ``nu``, the latter with ``all_positive``
+  (optimizer.py:52-59) since the second moment must stay non-negative;
+- optional ``grad_scaling`` multiplies grads before quantization
+  (optimizer.py:79).
+
+Optimizers are built from optax primitives with torch-matching semantics
+(torch couples weight decay into the gradient *before* the momentum update
+for SGD/Adam; AdamW decouples it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from smart_quantization_tpu.compress.base import CompressorBase
+from smart_quantization_tpu.utils.prng import tree_split
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerCompression:
+    compressor: CompressorBase | None = None
+    compress_weights: bool = True
+    compress_gradients: bool = True
+    compress_momentum: bool = True
+    grad_scaling: float = 1.0
+
+    @property
+    def active(self) -> bool:
+        return self.compressor is not None and (
+            self.compress_weights or self.compress_gradients or self.compress_momentum
+        )
+
+
+class OptimizerSpec(NamedTuple):
+    tx: optax.GradientTransformation
+    kind: str  # 'sgd' | 'adam' | 'adamw'
+    has_momentum: bool
+
+
+def build_optimizer(
+    name: str,
+    learning_rate: float | optax.Schedule = 0.1,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    beta1: float | None = None,
+    beta2: float | None = None,
+    epsilon: float | None = None,
+) -> OptimizerSpec:
+    """Build SGD / Adam / AdamW with torch-matching update order.
+
+    Defaults mirror the reference CLI (models/base.py:57-69): lr 0.1,
+    momentum 0.9, wd 0.
+    """
+    b1 = 0.9 if beta1 is None else beta1
+    b2 = 0.999 if beta2 is None else beta2
+    eps = 1e-8 if epsilon is None else epsilon
+    scale = (
+        optax.scale_by_learning_rate(learning_rate)
+        if callable(learning_rate)
+        else optax.scale(-learning_rate)
+    )
+    if name == "sgd":
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.trace(decay=momentum))
+        parts.append(scale)
+        return OptimizerSpec(optax.chain(*parts), "sgd", momentum != 0.0)
+    if name == "adam":
+        parts = []
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+        parts.append(scale)
+        return OptimizerSpec(optax.chain(*parts), "adam", True)
+    if name == "adamw":
+        parts = [optax.scale_by_adam(b1=b1, b2=b2, eps=eps)]
+        if weight_decay:
+            parts.append(optax.add_decayed_weights(weight_decay))
+        parts.append(scale)
+        return OptimizerSpec(optax.chain(*parts), "adamw", True)
+    raise ValueError(f"unknown optimizer {name!r} (sgd|adam|adamw)")
+
+
+def norm_param_mask(params: Any) -> Any:
+    """True for leaves belonging to normalization layers (exempt from weight
+    compression, mirroring models/base.py:141-150).
+
+    Convention: our flax models name norm submodules with 'bn'/'norm' in the
+    path (BatchNorm defaults to 'bn*', LayerNorm to '*norm*').
+    """
+
+    def path_is_norm(path) -> bool:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return any(
+            isinstance(n, str) and ("bn" in n.lower() or "norm" in n.lower())
+            for n in names
+        )
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: path_is_norm(path), params
+    )
+
+
+def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=None):
+    """Quantize every leaf with per-leaf keys; returns (tree, orig_bits, new_bits)."""
+    keys = tree_split(key, tree)
+    totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
+
+    def one(leaf, k, skip, all_pos):
+        if skip:
+            return leaf
+        y, stats = compressor(leaf, k, all_positive=all_pos)
+        totals["orig"] = totals["orig"] + stats.orig_bits
+        totals["new"] = totals["new"] + stats.new_bits
+        return y
+
+    if skip_tree is None:
+        skip_tree = jax.tree.map(lambda _: False, tree)
+    if all_positive_tree is None:
+        all_positive_tree = jax.tree.map(lambda _: False, tree)
+    out = jax.tree.map(one, tree, keys, skip_tree, all_positive_tree)
+    return out, totals["orig"], totals["new"]
+
+
+def _map_momentum_state(opt_state, kind: str, fn):
+    """Apply ``fn(tree, all_positive) -> tree`` to the momentum buffers inside
+    an optax chain state built by :func:`build_optimizer`."""
+
+    def replace(state):
+        if isinstance(state, optax.TraceState):
+            return state._replace(trace=fn(state.trace, False))
+        if isinstance(state, optax.ScaleByAdamState):
+            return state._replace(mu=fn(state.mu, False), nu=fn(state.nu, True))
+        return state
+
+    return jax.tree.map(
+        replace,
+        opt_state,
+        is_leaf=lambda s: isinstance(s, (optax.TraceState, optax.ScaleByAdamState)),
+    )
+
+
+def compressed_optimizer_step(
+    spec: OptimizerSpec,
+    params: Any,
+    grads: Any,
+    opt_state: Any,
+    key: jax.Array | None,
+    compression: OptimizerCompression,
+    *,
+    weight_exempt: Any = None,
+):
+    """One full optimizer step with compression; returns
+    ``(params, opt_state, metrics)`` where metrics maps
+    ``optimizer_{grad,weight,momentum}`` tags to (orig_bits, new_bits)."""
+    metrics: dict[str, jax.Array] = {}
+    comp = compression.compressor
+
+    if compression.active and key is not None:
+        k_grad, k_weight, k_mom = jax.random.split(key, 3)
+    else:
+        k_grad = k_weight = k_mom = None
+
+    if compression.active and compression.compress_gradients:
+        if compression.grad_scaling != 1.0:
+            grads = jax.tree.map(
+                lambda g: g * compression.grad_scaling, grads
+            )
+        grads, o, n = _quantize_tree(grads, k_grad, comp)
+        metrics["optimizer_grad"] = jnp.stack([o, n])
+
+    updates, opt_state = spec.tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    if compression.active and compression.compress_weights:
+        params, o, n = _quantize_tree(
+            params, k_weight, comp, skip_tree=weight_exempt
+        )
+        metrics["optimizer_weight"] = jnp.stack([o, n])
+
+    if (
+        compression.active
+        and compression.compress_momentum
+        and spec.has_momentum
+    ):
+        totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
+
+        def quantize_momentum(tree, all_positive):
+            ap_tree = jax.tree.map(lambda _: all_positive, tree)
+            out, o, n = _quantize_tree(
+                tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
+                all_positive_tree=ap_tree,
+            )
+            totals["orig"] = totals["orig"] + o
+            totals["new"] = totals["new"] + n
+            return out
+
+        opt_state = _map_momentum_state(opt_state, spec.kind, quantize_momentum)
+        metrics["optimizer_momentum"] = jnp.stack([totals["orig"], totals["new"]])
+
+    return params, opt_state, metrics

@@ -1,0 +1,285 @@
+"""The training loop: jitted train/eval steps + epoch driver.
+
+Plays the role of the reference's PyTorch-Lightning Trainer + BaseModule
+(/root/reference/smart_compress/models/base.py:42-180, util/train.py:74-219)
+as an explicit, functional TPU loop:
+
+- one jitted ``train_step(state, batch, key) -> (state, metrics)`` with
+  donated state;
+- optional loss compression (models/base.py:108-117, tag ``loss``);
+- the compressed optimizer step (weights/grads/momentum tags);
+- NaN termination by default (``terminate_on_nan=True``,
+  util/train.py:170) — checked on host at the logging cadence so the hot
+  loop never syncs;
+- compression-ratio telemetry with the reference's tag taxonomy;
+- orbax checkpointing of params + (compressed) optimizer state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_quantization_tpu.compress.base import CompressorBase
+from smart_quantization_tpu.data import cifar as cifar_data
+from smart_quantization_tpu.inject.tap import TapConfig
+from smart_quantization_tpu.optim.compressed import (
+    OptimizerCompression,
+    OptimizerSpec,
+    compressed_optimizer_step,
+    norm_param_mask,
+)
+from smart_quantization_tpu.train.metrics import (
+    MetricLogger,
+    RatioAccumulator,
+    merge_compression_metrics,
+)
+from smart_quantization_tpu.train.state import TrainState
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 1
+    log_every: int = 50
+    terminate_on_nan: bool = True
+    compress_loss: bool = False
+    measure_compression_ratio: bool = False
+    checkpoint_dir: str | None = None
+    checkpoint_every_epochs: int = 1
+    limit_train_batches: int | None = None
+    limit_val_batches: int | None = None
+    seed: int = 0
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+
+
+class Trainer:
+    """Image-classification trainer (ResNet/Inception on CIFAR)."""
+
+    def __init__(
+        self,
+        model,
+        data,
+        spec: OptimizerSpec,
+        *,
+        tap_cfg: TapConfig | None = None,
+        optim_comp: OptimizerCompression | None = None,
+        loss_compressor: CompressorBase | None = None,
+        config: TrainConfig = TrainConfig(),
+        lr_schedule: Callable[[jax.Array], jax.Array] | None = None,
+        logger: MetricLogger | None = None,
+    ):
+        self.model = model
+        self.data = data
+        self.spec = spec
+        self.tap_cfg = tap_cfg
+        self.optim_comp = optim_comp or OptimizerCompression(compressor=None)
+        self.loss_compressor = loss_compressor
+        self.cfg = config
+        self.logger = logger or MetricLogger(None)
+        self.ratio_acc = RatioAccumulator()
+        self._train_step = None
+        self._eval_step = None
+        self.nan_terminated = False
+
+    # ---------------------------------------------------------------- init
+    def init_state(self, key: jax.Array) -> TrainState:
+        sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        k_param, k_comp = jax.random.split(key)
+        variables = self.model.init(
+            {"params": k_param, "compress": k_comp}, sample, train=True
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.spec.tx.init(params)
+        return TrainState(jnp.int32(0), params, batch_stats, opt_state)
+
+    # ---------------------------------------------------------------- steps
+    def build_train_step(self):
+        weight_exempt_cache = {}
+
+        def train_step(state: TrainState, images_u8, labels, key):
+            k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
+            x = cifar_data.augment(images_u8, k_aug)
+            x = cifar_data.normalize(x)
+
+            def loss_fn(params):
+                variables = {"params": params, "batch_stats": state.batch_stats}
+                mutable = ["batch_stats"]
+                if self.cfg.measure_compression_ratio:
+                    mutable.append("compression_stats")
+                logits, mut = self.model.apply(
+                    variables,
+                    x,
+                    train=True,
+                    rngs={"compress": k_fwd},
+                    mutable=mutable,
+                )
+                loss = cross_entropy(logits, labels)
+                if self.cfg.compress_loss and self.loss_compressor is not None:
+                    # loss compression (models/base.py:114-116, tag "loss")
+                    loss_q, _ = self.loss_compressor(loss[None], k_loss)
+                    loss = loss_q[0]
+                return loss, (logits, mut)
+
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+
+            exempt = norm_param_mask(state.params)
+            params, opt_state, opt_metrics = compressed_optimizer_step(
+                self.spec,
+                state.params,
+                grads,
+                state.opt_state,
+                k_opt,
+                self.optim_comp,
+                weight_exempt=exempt,
+            )
+            new_state = TrainState(
+                state.step + 1,
+                params,
+                mut.get("batch_stats", state.batch_stats),
+                opt_state,
+            )
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            metrics = {"train_loss": loss, "train_accuracy": acc}
+            if self.cfg.measure_compression_ratio:
+                fwd = mut.get("compression_stats", {})
+                fwd_tot = sum(
+                    jax.tree.leaves(fwd), jnp.zeros((2,), jnp.float32)
+                )
+                metrics["_ratio/forward_autograd"] = fwd_tot
+                for tag, pair in opt_metrics.items():
+                    metrics[f"_ratio/{tag}"] = pair
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_eval_step(self):
+        def eval_step(state: TrainState, images_u8, labels):
+            x = cifar_data.normalize(images_u8)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            logits = self.model.apply(
+                variables, x, train=False, rngs={"compress": jax.random.key(0)}
+            )
+            loss = cross_entropy(logits, labels)
+            correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return loss, correct
+
+        return jax.jit(eval_step)
+
+    # ---------------------------------------------------------------- loop
+    def fit(self, state: TrainState | None = None) -> TrainState:
+        key = jax.random.key(self.cfg.seed)
+        if state is None:
+            key, k_init = jax.random.split(key)
+            state = self.init_state(k_init)
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+            self._eval_step = self.build_eval_step()
+
+        step = int(state.step)
+        for epoch in range(self.cfg.epochs):
+            t0 = time.time()
+            pending = []  # (step, metrics) not yet synced
+            for bi, (images, labels) in enumerate(
+                self.data.train_batches(self.cfg.seed + epoch)
+            ):
+                if (
+                    self.cfg.limit_train_batches is not None
+                    and bi >= self.cfg.limit_train_batches
+                ):
+                    break
+                key, k_step = jax.random.split(key)
+                state, metrics = self._train_step(
+                    state, jnp.asarray(images), jnp.asarray(labels), k_step
+                )
+                step += 1
+                pending.append((step, metrics))
+                if step % self.cfg.log_every == 0:
+                    if self._drain(pending):
+                        return state  # NaN termination
+                    pending = []
+            if self._drain(pending):
+                return state
+
+            val = self.evaluate(state)
+            val["epoch"] = epoch
+            val["epoch_time_s"] = time.time() - t0
+            val.update(self.ratio_acc.summary())
+            self.logger.log(step, val)
+            self._maybe_checkpoint(state, epoch)
+        return state
+
+    def _drain(self, pending) -> bool:
+        """Sync pending metrics; returns True if training must stop (NaN)."""
+        for s, m in pending:
+            host = {k: np.asarray(v) for k, v in m.items()}
+            scalars = {
+                k: float(v) for k, v in host.items() if not k.startswith("_ratio/")
+            }
+            ratios = {
+                k.split("/", 1)[1]: v
+                for k, v in host.items()
+                if k.startswith("_ratio/")
+            }
+            merge_compression_metrics(self.ratio_acc, ratios)
+            self.logger.log(s, scalars, echo=(s % (self.cfg.log_every * 4) == 0))
+            if self.cfg.terminate_on_nan and not np.isfinite(
+                scalars.get("train_loss", 0.0)
+            ):
+                # the reference's terminate_on_nan=True (util/train.py:170)
+                print(f"NaN/inf loss at step {s}; terminating.", flush=True)
+                self.nan_terminated = True
+                return True
+        return False
+
+    def evaluate(self, state: TrainState) -> dict[str, float]:
+        losses, correct, count = [], 0.0, 0
+        for bi, (images, labels) in enumerate(self.data.val_batches()):
+            if (
+                self.cfg.limit_val_batches is not None
+                and bi >= self.cfg.limit_val_batches
+            ):
+                break
+            loss, c = self._eval_step(state, jnp.asarray(images), jnp.asarray(labels))
+            losses.append(float(loss))
+            correct += float(c)
+            count += len(labels)
+        if count == 0:
+            return {}
+        return {
+            "val_loss": float(np.mean(losses)),
+            "val_accuracy": correct / count,
+        }
+
+    def _maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
+        if not self.cfg.checkpoint_dir:
+            return
+        if (epoch + 1) % self.cfg.checkpoint_every_epochs:
+            return
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.cfg.checkpoint_dir, f"epoch_{epoch:04d}")
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)

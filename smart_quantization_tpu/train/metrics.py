@@ -1,0 +1,103 @@
+"""Metrics/telemetry: the compression-ratio accounting subsystem.
+
+Reproduces the reference's tag-partitioned telemetry
+(/root/reference/smart_compress/compress/base.py:60-102): per-tag
+``compression_ratio_{tag}``, ``new_size_{tag}``, ``orig_size_{tag}`` with
+sizes aggregated by summation, plus the global ``compression_ratio``.
+TPU-native difference: sizes arrive as traced scalars inside the step's
+metrics pytree (forward taps via flax ``sow``; optimizer tags from the
+compressed optimizer step) and are reduced on host once per logging interval
+— no per-tensor host sync like the reference's eager `.log` calls.
+Backward-pass (gradient-map) sizes flow through the opt-in io_callback sink
+(inject/tap.py) since vjp-internal values cannot reach the loss output.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import threading
+import time
+from typing import Mapping
+
+import numpy as np
+
+
+class RatioAccumulator:
+    """Host-side per-tag size accumulator (thread-safe for io_callback)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.orig = collections.defaultdict(float)
+        self.new = collections.defaultdict(float)
+
+    def add(self, tag: str, orig_bits: float, new_bits: float) -> None:
+        with self._lock:
+            self.orig[tag] += float(orig_bits)
+            self.new[tag] += float(new_bits)
+
+    def summary(self) -> dict[str, float]:
+        with self._lock:
+            out: dict[str, float] = {}
+            tot_o = tot_n = 0.0
+            for tag in self.orig:
+                o, n = self.orig[tag], self.new[tag]
+                tot_o += o
+                tot_n += n
+                out[f"orig_size_{tag}"] = o
+                out[f"new_size_{tag}"] = n
+                if n > 0:
+                    out[f"compression_ratio_{tag}"] = o / n
+            if tot_n > 0:
+                out["compression_ratio"] = tot_o / tot_n
+                out["orig_size"] = tot_o
+                out["new_size"] = tot_n
+            return out
+
+    def reset(self) -> None:
+        with self._lock:
+            self.orig.clear()
+            self.new.clear()
+
+
+class MetricLogger:
+    """JSONL + stdout scalar logger (the TestTubeLogger role,
+    util/train.py:191-195).  One line per logging event."""
+
+    def __init__(self, logdir: str | None, name: str = "run"):
+        self.logdir = logdir
+        self._fh = None
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            self._fh = open(os.path.join(logdir, f"{name}.metrics.jsonl"), "a")
+        self._t0 = time.time()
+
+    def log(self, step: int, scalars: Mapping[str, float], echo: bool = True) -> None:
+        rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
+        rec.update(
+            {k: (float(v) if np.isfinite(v) else str(v)) for k, v in scalars.items()}
+        )
+        if self._fh:
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+        if echo:
+            parts = " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items()
+                if k != "time"
+            )
+            print(parts, flush=True)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+
+
+def merge_compression_metrics(
+    acc: RatioAccumulator, step_metrics: Mapping[str, np.ndarray]
+) -> None:
+    """Fold the traced per-step (orig, new) pairs into the host accumulator."""
+    for tag, pair in step_metrics.items():
+        pair = np.asarray(pair)
+        acc.add(tag, float(pair[0]), float(pair[1]))

@@ -1,0 +1,203 @@
+"""Injection-layer (custom_vjp tap) and compressed-optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from smart_quantization_tpu.compress import build_compressor
+from smart_quantization_tpu.inject.policy import DEFAULT_POLICY, LayerKind, TapPolicy
+from smart_quantization_tpu.inject.tap import compression_tap
+from smart_quantization_tpu.optim.compressed import (
+    OptimizerCompression,
+    build_optimizer,
+    compressed_optimizer_step,
+    norm_param_mask,
+)
+
+
+class TestTap:
+    def test_forward_compresses(self):
+        c = build_compressor("bf16")
+        x = jax.random.normal(jax.random.key(0), (256,)) * 1.001
+        y, stats = compression_tap(x, jax.random.key(1), c)
+        assert float(stats.ratio) == pytest.approx(2.0)
+        # bf16 fake-quant changes values
+        assert not np.array_equal(np.asarray(y), np.asarray(x))
+
+    def test_forward_disabled_is_identity(self):
+        c = build_compressor("bf16")
+        x = jax.random.normal(jax.random.key(0), (256,))
+        y, stats = compression_tap(x, jax.random.key(1), c, compress_forward=False)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+        assert float(stats.ratio) == 1.0
+
+    def test_backward_compresses_cotangent(self):
+        """Gradient maps through the tap are fake-quantized (straight-through)."""
+        c = build_compressor("bf16", stochastic=False)
+
+        def loss(x):
+            y, _ = compression_tap(
+                x, None, c, compress_forward=False, compress_backward=True
+            )
+            return jnp.sum(y * jnp.arange(1.0, 5.0) * 1.0009)
+
+        g = jax.grad(loss)(jnp.ones((4,)))
+        expected_raw = np.arange(1.0, 5.0) * 1.0009
+        bf16 = np.asarray(expected_raw, dtype=jnp.bfloat16).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(g), bf16, rtol=0, atol=0)
+
+    def test_backward_disabled_passes_gradient(self):
+        c = build_compressor("fp8")
+
+        def loss(x):
+            y, _ = compression_tap(
+                x, jax.random.key(0), c, compress_forward=False, compress_backward=False
+            )
+            return jnp.sum(y * 3.0)
+
+        g = jax.grad(loss)(jnp.ones((8,)))
+        np.testing.assert_allclose(np.asarray(g), 3.0)
+
+    def test_under_jit(self):
+        c = build_compressor("smart", use_pallas=False)
+
+        @jax.jit
+        def f(x, key):
+            y, stats = compression_tap(x, key, c)
+            return jnp.sum(y), stats.ratio
+
+        s, r = f(jax.random.normal(jax.random.key(2), (512,)), jax.random.key(3))
+        assert np.isfinite(float(s))
+        assert 4.0 <= float(r) <= 32 / 6
+
+
+class TestPolicy:
+    def test_default_covers_reference_set(self):
+        for k in (
+            LayerKind.CONV,
+            LayerKind.LINEAR,
+            LayerKind.POOL,
+            LayerKind.NORM,
+            LayerKind.ACTIVATION,
+            LayerKind.CONTAINER,
+            LayerKind.BLOCK,
+        ):
+            assert DEFAULT_POLICY.should_tap(k)
+        for k in (LayerKind.DROPOUT, LayerKind.PAD, LayerKind.LOSS):
+            assert not DEFAULT_POLICY.should_tap(k)
+
+    def test_custom(self):
+        p = TapPolicy.of(LayerKind.CONV)
+        assert p.should_tap("conv") and not p.should_tap("linear")
+
+
+def tiny_params():
+    return {
+        "dense": {"kernel": jnp.ones((8, 8)) * 0.123, "bias": jnp.zeros((8,))},
+        "bn_0": {"scale": jnp.ones((8,)), "bias": jnp.zeros((8,))},
+    }
+
+
+def tiny_grads():
+    return jax.tree.map(lambda p: jnp.full_like(p, 0.01), tiny_params())
+
+
+class TestCompressedOptimizer:
+    def test_norm_mask(self):
+        mask = norm_param_mask(tiny_params())
+        assert mask["bn_0"]["scale"] and mask["bn_0"]["bias"]
+        assert not mask["dense"]["kernel"]
+
+    def test_sgd_matches_plain_when_fp32(self):
+        spec = build_optimizer("sgd", 0.1, momentum=0.9)
+        params = tiny_params()
+        state = spec.tx.init(params)
+        comp = OptimizerCompression(compressor=build_compressor("fp32"))
+        p2, s2, _ = compressed_optimizer_step(
+            spec, params, tiny_grads(), state, jax.random.key(0), comp
+        )
+        # plain optax for comparison
+        up, s_plain = spec.tx.update(tiny_grads(), spec.tx.init(params), params)
+        p_plain = optax.apply_updates(params, up)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            p2,
+            p_plain,
+        )
+
+    def test_weight_exemption(self):
+        spec = build_optimizer("sgd", 0.0, momentum=0.0)  # lr=0: params unchanged
+        params = tiny_params()
+        state = spec.tx.init(params)
+        comp = OptimizerCompression(
+            compressor=build_compressor("fp8", stochastic=False),
+            compress_gradients=False,
+            compress_momentum=False,
+        )
+        exempt = norm_param_mask(params)
+        p2, _, m = compressed_optimizer_step(
+            spec, params, tiny_grads(), state, jax.random.key(0), comp,
+            weight_exempt=exempt,
+        )
+        # bn params untouched; dense kernel quantized (0.123 not on fp8 grid)
+        np.testing.assert_array_equal(
+            np.asarray(p2["bn_0"]["scale"]), np.asarray(params["bn_0"]["scale"])
+        )
+        assert not np.array_equal(
+            np.asarray(p2["dense"]["kernel"]), np.asarray(params["dense"]["kernel"])
+        )
+        assert "optimizer_weight" in m
+
+    def test_adam_momentum_quantized_nu_positive(self):
+        spec = build_optimizer("adam", 0.001)
+        params = tiny_params()
+        state = spec.tx.init(params)
+        comp = OptimizerCompression(
+            compressor=build_compressor("smart", use_pallas=False),
+            compress_weights=False,
+            compress_gradients=False,
+        )
+        grads = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.key(1), p.shape) * 0.1,
+            params,
+        )
+        _, s2, m = compressed_optimizer_step(
+            spec, params, grads, state, jax.random.key(2), comp
+        )
+        assert "optimizer_momentum" in m
+        adam_state = s2[0]
+        assert isinstance(adam_state, optax.ScaleByAdamState)
+        for leaf in jax.tree.leaves(adam_state.nu):
+            assert float(jnp.min(leaf)) >= 0.0  # all_positive clamp held
+
+    def test_momentum_skipped_when_sgd_no_momentum(self):
+        spec = build_optimizer("sgd", 0.1, momentum=0.0)
+        assert not spec.has_momentum
+        params = tiny_params()
+        comp = OptimizerCompression(compressor=build_compressor("bf16"))
+        _, _, m = compressed_optimizer_step(
+            spec, params, tiny_grads(), spec.tx.init(params), jax.random.key(0), comp
+        )
+        assert "optimizer_momentum" not in m
+
+    def test_full_step_under_jit(self):
+        spec = build_optimizer("adamw", 0.001, weight_decay=0.01)
+        params = tiny_params()
+        comp = OptimizerCompression(compressor=build_compressor("smart", use_pallas=False))
+        exempt = norm_param_mask(params)
+
+        @jax.jit
+        def step(params, grads, state, key):
+            return compressed_optimizer_step(
+                spec, params, grads, state, key, comp, weight_exempt=exempt
+            )
+
+        state = spec.tx.init(params)
+        p, s, m = step(params, tiny_grads(), state, jax.random.key(0))
+        p, s, m = step(p, tiny_grads(), s, jax.random.key(1))
+        for tag in ("optimizer_grad", "optimizer_weight", "optimizer_momentum"):
+            assert tag in m
+            orig, new = np.asarray(m[tag])
+            assert orig > new > 0

@@ -1,0 +1,161 @@
+"""Golden/property tests for the SmaQ z-score quantizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_quantization_tpu.ops.smaq import (
+    SmaQParams,
+    compute_stats,
+    smaq_quantize_dequantize,
+)
+
+
+def smaq_numpy_golden(x, params, mean=None, std=None):
+    """Independent numpy model of the reference math (smart.py:110-190),
+    deterministic rounding (trunc)."""
+    x = np.asarray(x, np.float64)
+    if mean is None:
+        mean = x.mean()
+    if std is None:
+        std = x.std(ddof=1)
+    if std == 0:
+        std = 1.0
+    std = np.clip(std, params.std_clamp_lo, params.std_clamp_hi)
+    t = params.main_std_dev_threshold
+    z = (x - mean) / std
+    hi, lo = z > t, z < -t
+    out = hi | lo
+    shift = np.where(hi, -t, 0.0) + np.where(lo, t, 0.0)
+    scale = np.where(out, params.range_outlier, params.range_main)
+    q = np.trunc((z + shift) * scale)
+    z_hat = q / scale - shift
+    return (z_hat * std + mean).astype(np.float32), out.sum()
+
+
+def make_params(**kw):
+    kw.setdefault("stochastic_rounding", False)
+    return SmaQParams(**kw)
+
+
+class TestSmaQ:
+    def test_matches_numpy_golden(self):
+        rng = np.random.RandomState(0)
+        x = (rng.randn(33, 77) * 2.5 + 0.7).astype(np.float32)
+        params = make_params()
+        y, new_bits = smaq_quantize_dequantize(jnp.asarray(x), None, params)
+        golden, n_out = smaq_numpy_golden(x, params)
+        np.testing.assert_allclose(np.asarray(y), golden, rtol=1e-5, atol=1e-6)
+        expected_bits = n_out * 8 + (x.size - n_out) * 6
+        assert float(new_bits) == pytest.approx(expected_bits)
+
+    def test_min_size_passthrough(self):
+        x = jnp.arange(7, dtype=jnp.float32)
+        y, bits = smaq_quantize_dequantize(x, jax.random.key(0), SmaQParams())
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+        assert float(bits) == 7 * 32
+
+    def test_constant_tensor_zero_std_guard(self):
+        x = jnp.full((64,), 3.25)
+        y, _ = smaq_quantize_dequantize(x, None, make_params())
+        assert np.all(np.isfinite(np.asarray(y)))
+        np.testing.assert_allclose(np.asarray(y), 3.25, atol=1e-6)
+
+    def test_stochastic_unbiased(self):
+        """Repeated-application drift stays near zero — the reference's only
+        Python test (test.py:33-54 measures exactly this property)."""
+        params = SmaQParams(stochastic_rounding=True)
+        x = jax.random.normal(jax.random.key(0), (64, 64))
+        acc = jnp.zeros_like(x)
+        reps = 200
+        for i in range(reps):
+            y, _ = smaq_quantize_dequantize(x, jax.random.key(i + 1), params)
+            acc = acc + (y - x)
+        drift = float(jnp.mean(jnp.abs(acc / reps)))
+        # one application's quantum is ~std/15; averaged error must shrink ~1/sqrt(reps)
+        assert drift < 0.02
+
+    def test_range_std_dev(self):
+        x = jax.random.normal(jax.random.key(2), (4096,))
+        params = make_params(use_range_std_dev=True)
+        _, std = compute_stats(x, params, None)
+        expected = (float(x.max()) - float(x.min())) / np.sqrt(2 * np.log(x.size))
+        assert float(std) == pytest.approx(expected, rel=1e-5)
+
+    def test_sample_stats(self):
+        x = jax.random.normal(jax.random.key(3), (10000,)) * 5 + 2
+        params = make_params(use_sample_stats=True, num_samples=16)
+        mean, std = compute_stats(x, params, jax.random.key(4))
+        # 16 samples: loose bounds
+        assert abs(float(mean) - 2) < 4.0
+        assert 1.0 < float(std) < 10.0
+
+    def test_all_positive_clamp(self):
+        x = jax.random.normal(jax.random.key(5), (512,)) * 0.01 + 0.005
+        y, _ = smaq_quantize_dequantize(
+            x, None, make_params(), all_positive=True
+        )
+        assert float(jnp.min(y)) >= 0.0
+
+    def test_bn_fold_roundtrip(self):
+        """BN fold: stats pre-unfold, normalize unfolded, refold after."""
+        x = jax.random.normal(jax.random.key(6), (4, 8, 8, 16)) * 2 + 1
+        gamma = jnp.ones((16,)) * 2.0
+        beta = jnp.ones((16,)) * 0.5
+        params = make_params(num_bits_main=10, num_bits_outlier=12)
+        y, _ = smaq_quantize_dequantize(x, None, params, gamma=gamma, beta=beta)
+        # high bit widths => near-exact roundtrip incl. fold/unfold
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=0.2)
+
+    def test_higher_bits_lower_error(self):
+        x = jax.random.normal(jax.random.key(7), (4096,))
+        errs = []
+        for bits in (4, 6, 8):
+            p = make_params(num_bits_main=bits, num_bits_outlier=bits + 2)
+            y, _ = smaq_quantize_dequantize(x, None, p)
+            errs.append(float(jnp.mean((y - x) ** 2)))
+        assert errs[0] > errs[1] > errs[2]
+
+    def test_jit_and_grad_safe(self):
+        params = SmaQParams()
+
+        @jax.jit
+        def f(x, key):
+            y, bits = smaq_quantize_dequantize(x, key, params)
+            return jnp.sum(y), bits
+
+        s, bits = f(jax.random.normal(jax.random.key(8), (256,)), jax.random.key(9))
+        assert np.isfinite(float(s)) and float(bits) > 0
+
+
+class TestFusedKernelInterpret:
+    """Conformance of the Pallas kernel vs the jnp reference (interpret mode
+    on CPU; the same kernel compiles for real on TPU)."""
+
+    @pytest.mark.parametrize("n", [8192, 300_000])
+    def test_deterministic_matches_reference(self, n):
+        from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused
+
+        x = jax.random.normal(jax.random.key(0), (n,)) * 1.7 + 0.3
+        params = make_params()
+        y_ref, bits_ref = smaq_quantize_dequantize(x, None, params)
+        y_k, bits_k = smaq_fused(x, None, params, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(y_k), np.asarray(y_ref), rtol=1e-5, atol=1e-6
+        )
+        assert float(bits_k) == pytest.approx(float(bits_ref))
+
+    def test_stochastic_statistics_match(self):
+        from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused
+
+        if jax.default_backend() != "tpu":
+            pytest.skip("pltpu PRNG is not supported in interpret mode")
+        params = SmaQParams(stochastic_rounding=True)
+        x = jax.random.normal(jax.random.key(1), (65536,))
+        y, bits = smaq_fused(x, jax.random.key(2), params)
+        err = np.asarray(y) - np.asarray(x)
+        # unbiased rounding: mean error ~ 0; rmse bounded by quantum
+        assert abs(err.mean()) < 1e-3
+        assert err.std() < 0.1
+        assert float(bits) > 0

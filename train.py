@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Train entry point (the reference's train.py:1-9 equivalent).
+
+Examples:
+  python train.py --model resnet --dataset cifar10 --compress smart \
+      --num_bits_main 6 --num_bits_outlier 8 --measure_compression_ratio \
+      --max_epochs 5 --batch_size 128
+  python train.py --compress fp32 --max_epochs 1 --limit_train_batches 10
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(argv=None):
+    from smart_quantization_tpu.utils.config import build_components, parse_args
+
+    args = parse_args(argv)
+    print(f"run name: {args.name}")
+
+    import jax
+
+    from smart_quantization_tpu.data.cifar import CIFAR10Data, CIFAR100Data
+    from smart_quantization_tpu.models.inception import inception_v3
+    from smart_quantization_tpu.models.resnet import resnet18, resnet34, resnet50
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+    from smart_quantization_tpu.train.metrics import MetricLogger
+
+    comps = build_components(args)
+
+    if args.model == "bert":
+        from smart_quantization_tpu.train.bert_loop import run_bert
+
+        return run_bert(args, comps)
+
+    data_cls = {"cifar10": CIFAR10Data, "cifar100": CIFAR100Data}[args.dataset]
+    data = data_cls(batch_size=args.batch_size, val_batch_size=args.val_batch_size)
+    if data.synthetic:
+        print("NOTE: CIFAR archives not found under $SMAQ_DATA_DIR; "
+              "using the synthetic stand-in dataset.")
+
+    if args.model == "resnet":
+        model_fn = {"resnet18": resnet18, "resnet34": resnet34,
+                    "resnet50": resnet50}[args.resnet_model]
+    else:
+        model_fn = inception_v3
+    model = model_fn(num_classes=data.num_classes, tap=comps["tap_cfg"])
+
+    cfg = TrainConfig(
+        epochs=args.max_epochs,
+        log_every=args.log_every,
+        terminate_on_nan=args.terminate_on_nan,
+        compress_loss=args.compress_loss,
+        measure_compression_ratio=args.measure_compression_ratio,
+        checkpoint_dir=args.checkpoint_dir,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        seed=args.seed,
+    )
+    logger = MetricLogger(args.logdir, args.name)
+    trainer = Trainer(
+        model,
+        data,
+        comps["optimizer_spec"],
+        tap_cfg=comps["tap_cfg"],
+        optim_comp=comps["optim_comp"],
+        loss_compressor=comps["compressor"],
+        config=cfg,
+        logger=logger,
+    )
+    state = trainer.fit()
+    final = trainer.evaluate(state)
+    print("final:", final)
+    return final
+
+
+if __name__ == "__main__":
+    main()
