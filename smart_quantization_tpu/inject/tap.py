@@ -105,6 +105,18 @@ class TapConfig:
     compress_backward: bool = True
     policy: TapPolicy = DEFAULT_POLICY
     use_batch_norm: bool = False
+    # telemetry tag for forward-side sizes; the legacy global-hook mode
+    # (util/train.py:129-133 + hooks.py:37-53) is this config with
+    # compress_backward=False and tag="forward_hook"
+    tag: str = "forward_autograd"
+
+    def as_global_hook(self) -> "TapConfig":
+        """The reference's (signature-broken) --compression_hook_fn
+        global_hook capability, built correctly: forward-output-only
+        compression (SURVEY.md section 7 'quirks')."""
+        return dataclasses.replace(
+            self, compress_backward=False, tag="forward_hook"
+        )
 
     @property
     def active(self) -> bool:
@@ -143,7 +155,7 @@ def module_tap(
     )
     module.sow(
         "compression_stats",
-        "forward_autograd",
+        cfg.tag,
         jnp.stack([stats.orig_bits, stats.new_bits]),
         reduce_fn=lambda prev, new: prev + new,
         init_fn=lambda: jnp.zeros((2,), jnp.float32),

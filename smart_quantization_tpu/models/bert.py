@@ -43,10 +43,11 @@ class BertConfig:
 
     @staticmethod
     def tiny() -> "BertConfig":
-        """4-layer config for tests/smokes."""
+        """2-layer config for tests/smokes.  Keeps the full vocab so real
+        tokenizer ids stay in range (OOB embedding lookups read garbage)."""
         return BertConfig(
-            vocab_size=1024, hidden_size=64, num_layers=2, num_heads=2,
-            intermediate_size=128, max_position_embeddings=128,
+            vocab_size=30522, hidden_size=64, num_layers=2, num_heads=2,
+            intermediate_size=128, max_position_embeddings=512,
         )
 
 

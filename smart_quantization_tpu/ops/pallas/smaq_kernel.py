@@ -46,8 +46,7 @@ _INV_2_24 = float(2.0**-24)
 
 def _kernel(
     seed_ref,
-    mean_ref,
-    std_ref,
+    scalars_ref,
     x_ref,
     y_ref,
     count_ref,
@@ -57,7 +56,16 @@ def _kernel(
     range_outlier: float,
     stochastic: bool,
     all_positive: bool,
+    std_clamp_lo: float,
+    std_clamp_hi: float,
 ):
+    """Division-free SmaQ quantize->dequantize on one (BR, LANES) block.
+
+    scalars_ref (SMEM, (1, 2)): raw [mean, std].  The zero-std guard, clamp,
+    and reciprocal all happen here as scalar SMEM math — doing them as jnp
+    host-side ops costs a swarm of tiny XLA kernels per call, which dominates
+    runtime on dispatch-latency-bound backends.  The per-element path is
+    division-free (VPU divides cost ~8x a multiply)."""
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -65,14 +73,18 @@ def _kernel(
         count_ref[0, 0] = jnp.float32(0.0)
 
     x = x_ref[:]
-    mean = mean_ref[0, 0]
-    std = std_ref[0, 0]
+    mean = scalars_ref[0, 0]
+    std = scalars_ref[0, 1]
+    std = jnp.where(std == 0.0, jnp.float32(1.0), std)
+    std = jnp.clip(std, jnp.float32(std_clamp_lo), jnp.float32(std_clamp_hi))
+    a = jnp.float32(1.0) / std
+    b = -mean * a
 
-    z = (x - mean) / std
+    z = x * a + b
     hi = z > t
     lo = z < -t
     outlier = hi | lo
-    shift = jnp.where(hi, jnp.float32(-t), 0.0) + jnp.where(lo, jnp.float32(t), 0.0)
+    shift = jnp.where(hi, jnp.float32(-t), jnp.where(lo, jnp.float32(t), 0.0))
     scale = jnp.where(outlier, jnp.float32(range_outlier), jnp.float32(range_main))
 
     q = (z + shift) * scale
@@ -88,7 +100,16 @@ def _kernel(
     else:
         q = jnp.trunc(q)
 
-    y = (q / scale - shift) * std + mean
+    # y = (q / scale - shift) * std + mean, with reciprocals folded in
+    inv_scale_std = jnp.where(
+        outlier,
+        std * jnp.float32(1.0 / range_outlier),
+        std * jnp.float32(1.0 / range_main),
+    )
+    shift_term = jnp.where(
+        hi, jnp.float32(t) * std, jnp.where(lo, jnp.float32(-t) * std, 0.0)
+    )
+    y = q * inv_scale_std + shift_term + mean
     if all_positive:
         y = jnp.maximum(y, 0.0)
     y_ref[:] = y
@@ -109,27 +130,28 @@ def smaq_fused(
     *,
     all_positive: bool = False,
     interpret: bool = False,
+    mean: jax.Array | None = None,
+    std: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused-kernel SmaQ; same contract as ``smaq_quantize_dequantize``."""
+    """Fused-kernel SmaQ; same contract as ``smaq_quantize_dequantize``.
+    Precomputed ``mean``/``std`` skip the stats pass."""
     orig_dtype = x.dtype
     n = x.size
     if n < params.min_size:
         return x, jnp.float32(n * 32)
 
-    if key is not None:
-        key_stats, key_round = jax.random.split(key)
-    else:
-        key_stats = key_round = None
-
     xf = x.astype(jnp.float32)
-    mean, std = compute_stats(xf, params, key_stats)
-    std = jnp.where(std == 0.0, jnp.float32(1.0), std)
-    std = jnp.clip(std, params.std_clamp_lo, params.std_clamp_hi)
+    if mean is None or std is None:
+        mean, std = compute_stats(xf, params, key)
 
-    if params.stochastic_rounding:
-        seed = jax.lax.bitcast_convert_type(
-            jax.random.bits(key_round, (), jnp.uint32), jnp.int32
-        ).reshape(1, 1)
+    if params.stochastic_rounding and key is not None:
+        # seed the in-kernel PRNG from the raw key bits — calling threefry
+        # (jax.random.bits) for one scalar costs a dispatch per tensor
+        seed = (
+            jax.lax.bitcast_convert_type(
+                jax.random.key_data(key).reshape(-1)[-1:], jnp.int32
+            ).reshape(1, 1)
+        )
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
@@ -151,15 +173,20 @@ def smaq_fused(
         range_outlier=params.range_outlier,
         stochastic=params.stochastic_rounding,
         all_positive=all_positive,
+        std_clamp_lo=params.std_clamp_lo,
+        std_clamp_hi=params.std_clamp_hi,
     )
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    scalars2_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    stats2 = jnp.concatenate(
+        [mean.reshape(1, 1), std.reshape(1, 1)], axis=1
+    ).astype(jnp.float32)
     y2d, count = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             scalar_spec,
-            scalar_spec,
-            scalar_spec,
+            scalars2_spec,
             pl.BlockSpec(
                 (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -175,12 +202,15 @@ def smaq_fused(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, mean.reshape(1, 1), std.reshape(1, 1), x2d)
+    )(seed, stats2, x2d)
 
     n_outliers = count[0, 0]
     if pad:
         # padding zeros were counted as data; remove their contribution
-        pad_z = (0.0 - mean) / std
+        guarded_std = jnp.clip(
+            jnp.where(std == 0.0, 1.0, std), params.std_clamp_lo, params.std_clamp_hi
+        )
+        pad_z = (0.0 - mean) / guarded_std
         pad_is_outlier = jnp.abs(pad_z) > params.main_std_dev_threshold
         n_outliers = n_outliers - jnp.float32(pad) * pad_is_outlier.astype(jnp.float32)
 

@@ -1,0 +1,281 @@
+"""BERT fine-tuning loop (GLUE / IMDB).
+
+Plays the role of the reference's BertModule + Lightning trainer
+(/root/reference/smart_compress/models/bert.py:10-73): regression (MSE) head
+for STSB vs cross-entropy otherwise (bert.py:53-70), GLUE metrics on the
+validation split, compression wired exactly as in the image path.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smart_quantization_tpu.models.bert import (
+    BertConfig,
+    BertForSequenceClassification,
+    load_pretrained_params,
+)
+from smart_quantization_tpu.optim.compressed import (
+    compressed_optimizer_step,
+    norm_param_mask,
+)
+from smart_quantization_tpu.train.glue_metrics import glue_metrics
+from smart_quantization_tpu.train.loop import cross_entropy
+from smart_quantization_tpu.train.metrics import MetricLogger, RatioAccumulator
+from smart_quantization_tpu.train.state import TrainState
+
+
+def bert_loss(logits, labels, is_regression: bool):
+    if is_regression:
+        return jnp.mean((logits[:, 0] - labels) ** 2)
+    return cross_entropy(logits, labels)
+
+
+class BertTrainer:
+    def __init__(self, model, data, spec, *, optim_comp, loss_compressor=None,
+                 config, logger=None, task: str = "stsb"):
+        self.model = model
+        self.data = data
+        self.spec = spec
+        self.optim_comp = optim_comp
+        self.loss_compressor = loss_compressor
+        self.cfg = config
+        self.logger = logger or MetricLogger(None)
+        self.task = task
+        self.is_regression = getattr(data, "is_regression", task == "stsb")
+        self.ratio_acc = RatioAccumulator()
+        self._train_step = None
+        self._eval_step = None
+        self.nan_terminated = False
+
+    def init_state(self, key: jax.Array, pretrained_params=None) -> TrainState:
+        L = self.data.max_input_length
+        sample = {
+            "input_ids": jnp.zeros((2, L), jnp.int32),
+            "attention_mask": jnp.ones((2, L), jnp.int32),
+            "token_type_ids": jnp.zeros((2, L), jnp.int32),
+        }
+        k_param, k_comp, k_drop = jax.random.split(key, 3)
+        variables = self.model.init(
+            {"params": k_param, "compress": k_comp, "dropout": k_drop},
+            sample["input_ids"],
+            sample["attention_mask"],
+            sample["token_type_ids"],
+            train=True,
+        )
+        params = variables["params"]
+        if pretrained_params is not None:
+            # graft pretrained encoder weights over the fresh init
+            params = {**params, **pretrained_params}
+        return TrainState(jnp.int32(0), params, {}, self.spec.tx.init(params))
+
+    def build_train_step(self):
+        def train_step(state: TrainState, batch, key):
+            k_fwd, k_drop, k_opt, k_loss = jax.random.split(key, 4)
+
+            def loss_fn(params):
+                mutable = (
+                    ["compression_stats"]
+                    if self.cfg.measure_compression_ratio
+                    else []
+                )
+                out = self.model.apply(
+                    {"params": params},
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    batch["token_type_ids"],
+                    train=True,
+                    rngs={"compress": k_fwd, "dropout": k_drop},
+                    mutable=mutable,
+                )
+                logits, mut = out if mutable else (out, {})
+                loss = bert_loss(logits, batch["labels"], self.is_regression)
+                if self.cfg.compress_loss and self.loss_compressor is not None:
+                    loss_q, _ = self.loss_compressor(loss[None], k_loss)
+                    loss = loss_q[0]
+                return loss, (logits, mut)
+
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            exempt = norm_param_mask(state.params)
+            params, opt_state, opt_metrics = compressed_optimizer_step(
+                self.spec, state.params, grads, state.opt_state, k_opt,
+                self.optim_comp, weight_exempt=exempt,
+            )
+            new_state = TrainState(state.step + 1, params, {}, opt_state)
+            metrics = {"train_loss": loss}
+            if self.cfg.measure_compression_ratio:
+                from smart_quantization_tpu.train.metrics import fold_sown_stats
+
+                for tag, tot in fold_sown_stats(
+                    mut.get("compression_stats", {})
+                ).items():
+                    metrics[f"_ratio/{tag}"] = tot
+                for tag, pair in opt_metrics.items():
+                    metrics[f"_ratio/{tag}"] = pair
+            return new_state, metrics
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def build_eval_step(self):
+        def eval_step(state: TrainState, batch):
+            logits = self.model.apply(
+                {"params": state.params},
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["token_type_ids"],
+                train=False,
+                rngs={"compress": jax.random.key(0)},
+            )
+            if self.is_regression:
+                preds = logits[:, 0]
+            else:
+                preds = jnp.argmax(logits, -1)
+            loss = bert_loss(logits, batch["labels"], self.is_regression)
+            return preds, loss
+
+        return jax.jit(eval_step)
+
+    def fit(self, state: TrainState | None = None) -> TrainState:
+        key = jax.random.key(self.cfg.seed)
+        if state is None:
+            key, k_init = jax.random.split(key)
+            state = self.init_state(k_init)
+        if self._train_step is None:
+            self._train_step = self.build_train_step()
+            self._eval_step = self.build_eval_step()
+
+        step = int(state.step)
+        for epoch in range(self.cfg.epochs):
+            t0 = time.time()
+            for bi, batch in enumerate(self.data.train_batches(self.cfg.seed + epoch)):
+                if (
+                    self.cfg.limit_train_batches is not None
+                    and bi >= self.cfg.limit_train_batches
+                ):
+                    break
+                key, k_step = jax.random.split(key)
+                device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                state, metrics = self._train_step(state, device_batch, k_step)
+                step += 1
+                if step % self.cfg.log_every == 0:
+                    host = {k: np.asarray(v) for k, v in metrics.items()}
+                    from smart_quantization_tpu.train.metrics import (
+                        merge_compression_metrics,
+                    )
+
+                    merge_compression_metrics(
+                        self.ratio_acc,
+                        {
+                            k.split("/", 1)[1]: v
+                            for k, v in host.items()
+                            if k.startswith("_ratio/")
+                        },
+                    )
+                    loss = float(host["train_loss"])
+                    self.logger.log(step, {"train_loss": loss})
+                    if self.cfg.terminate_on_nan and not np.isfinite(loss):
+                        print(f"NaN loss at step {step}; terminating.", flush=True)
+                        self.nan_terminated = True
+                        return state
+            val = self.evaluate(state)
+            val["epoch"] = epoch
+            val["epoch_time_s"] = time.time() - t0
+            val.update(self.ratio_acc.summary())
+            self.logger.log(step, val)
+        return state
+
+    def evaluate(self, state: TrainState) -> dict[str, float]:
+        preds, labels, losses = [], [], []
+        for bi, batch in enumerate(self.data.val_batches()):
+            if (
+                self.cfg.limit_val_batches is not None
+                and bi >= self.cfg.limit_val_batches
+            ):
+                break
+            device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            p, loss = self._eval_step(state, device_batch)
+            preds.append(np.asarray(p))
+            labels.append(np.asarray(batch["labels"]))
+            losses.append(float(loss))
+        if not preds:
+            return {}
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        out = {"val_loss": float(np.mean(losses))}
+        out.update(
+            {f"val_{k}": v for k, v in glue_metrics(self.task, preds, labels).items()}
+        )
+        return out
+
+
+def run_bert(args):
+    """CLI path for --model bert (train.py)."""
+    from smart_quantization_tpu.data.glue import GLUEData, IMDBData
+    from smart_quantization_tpu.train.loop import TrainConfig
+    from smart_quantization_tpu.utils.config import build_components
+
+    if args.dataset == "glue":
+        data = GLUEData(
+            task=args.glue_task,
+            batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
+            max_input_length=args.max_input_length,
+            tokenizer_name=args.bert_model,
+        )
+        task = args.glue_task
+    else:
+        data = IMDBData(
+            batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
+            max_input_length=args.max_input_length,
+            tokenizer_name=args.bert_model,
+        )
+        task = "imdb"
+    if data.synthetic:
+        print("NOTE: HF datasets unavailable offline; using synthetic text data.")
+    comps = build_components(args, steps_per_epoch=data.steps_per_epoch)
+
+    cfg = BertConfig.tiny() if getattr(args, "bert_size", "base") == "tiny" else BertConfig()
+    model = BertForSequenceClassification(
+        cfg,
+        num_labels=data.num_labels,
+        tap=comps["tap_cfg"],
+        freeze_encoder=args.freeze_bert_encoder,
+    )
+    tcfg = TrainConfig(
+        epochs=args.max_epochs,
+        log_every=args.log_every,
+        terminate_on_nan=args.terminate_on_nan,
+        compress_loss=args.compress_loss,
+        measure_compression_ratio=args.measure_compression_ratio,
+        checkpoint_dir=args.checkpoint_dir,
+        limit_train_batches=args.limit_train_batches,
+        limit_val_batches=args.limit_val_batches,
+        seed=args.seed,
+    )
+    logger = MetricLogger(args.logdir, args.name)
+    trainer = BertTrainer(
+        model, data, comps["optimizer_spec"],
+        optim_comp=comps["optim_comp"],
+        loss_compressor=comps["compressor"],
+        config=tcfg, logger=logger, task=task,
+    )
+    import jax as _jax
+
+    key = _jax.random.key(tcfg.seed)
+    pretrained = (
+        load_pretrained_params(args.bert_model, cfg, data.num_labels)
+        if args.pretrained and getattr(args, "bert_size", "base") == "base"
+        else None
+    )
+    state = trainer.init_state(key, pretrained)
+    state = trainer.fit(state)
+    final = trainer.evaluate(state)
+    print("final:", final)
+    return final

@@ -55,6 +55,8 @@ class TrainConfig:
     limit_train_batches: int | None = None
     limit_val_batches: int | None = None
     seed: int = 0
+    # average per-parameter gradient-norm probe (models/base.py:84-96,165-180)
+    measure_average_grad_norm: bool = False
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -153,12 +155,18 @@ class Trainer:
             )
             acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
             metrics = {"train_loss": loss, "train_accuracy": acc}
-            if self.cfg.measure_compression_ratio:
-                fwd = mut.get("compression_stats", {})
-                fwd_tot = sum(
-                    jax.tree.leaves(fwd), jnp.zeros((2,), jnp.float32)
+            if self.cfg.measure_average_grad_norm:
+                norms = jnp.stack(
+                    [jnp.linalg.norm(g) for g in jax.tree.leaves(grads)]
                 )
-                metrics["_ratio/forward_autograd"] = fwd_tot
+                metrics["avg_grad_norm"] = jnp.mean(norms)
+            if self.cfg.measure_compression_ratio:
+                from smart_quantization_tpu.train.metrics import fold_sown_stats
+
+                for tag, tot in fold_sown_stats(
+                    mut.get("compression_stats", {})
+                ).items():
+                    metrics[f"_ratio/{tag}"] = tot
                 for tag, pair in opt_metrics.items():
                     metrics[f"_ratio/{tag}"] = pair
             return new_state, metrics

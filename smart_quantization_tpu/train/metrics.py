@@ -94,6 +94,27 @@ class MetricLogger:
             self._fh.close()
 
 
+def fold_sown_stats(collection) -> dict:
+    """Group a flax ``compression_stats`` collection by tap tag.
+
+    sow() nests values as {module_path...: {tag: (arrays...)}}; the tag is
+    the innermost dict key.  Returns {tag: summed (2,) array}."""
+    import jax
+
+    out: dict = {}
+    flat = jax.tree_util.tree_flatten_with_path(collection)[0]
+    for path, leaf in flat:
+        tag = None
+        for p in reversed(path):
+            name = getattr(p, "key", getattr(p, "name", None))
+            if isinstance(name, str) and not name.isdigit():
+                tag = name
+                break
+        tag = tag or "forward_autograd"
+        out[tag] = out.get(tag, 0) + leaf
+    return out
+
+
 def merge_compression_metrics(
     acc: RatioAccumulator, step_metrics: Mapping[str, np.ndarray]
 ) -> None:

@@ -95,6 +95,10 @@ def add_bert_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--bert_model", type=str, default="bert-base-uncased")
     parser.add_argument("--no_pretrained", action="store_false", dest="pretrained")
     parser.add_argument("--freeze_bert_encoder", action="store_true")
+    parser.add_argument(
+        "--bert_size", choices=("base", "tiny"), default="base",
+        help="tiny = 2-layer debug config for smokes",
+    )
 
 
 def add_cifar_args(parser: argparse.ArgumentParser) -> None:
@@ -230,8 +234,13 @@ def parse_args(argv: list[str] | str | None = None) -> argparse.Namespace:
     return args
 
 
-def build_components(args: argparse.Namespace) -> dict[str, Any]:
-    """Instantiate compressor / model / data / optimizer from parsed args."""
+def build_components(
+    args: argparse.Namespace, steps_per_epoch: int | None = None
+) -> dict[str, Any]:
+    """Instantiate compressor / model / data / optimizer from parsed args.
+
+    ``steps_per_epoch`` converts the reference's epoch-indexed MultiStepLR
+    milestones (models/base.py:34-39) into step boundaries."""
     from smart_quantization_tpu.compress import build_compressor
     from smart_quantization_tpu.inject.tap import TapConfig
     from smart_quantization_tpu.optim.compressed import (
@@ -265,7 +274,10 @@ def build_components(args: argparse.Namespace) -> dict[str, Any]:
         compressor=compressor,
         compress_forward=args.compress_forward,
         compress_backward=args.compress_backward,
+        use_batch_norm=getattr(args, "use_batch_norm", False),
     ) if compressor is not None else None
+    if tap_cfg is not None and args.compression_hook_fn == "global_hook":
+        tap_cfg = tap_cfg.as_global_hook()
 
     optim_comp = OptimizerCompression(
         compressor=compressor,
@@ -278,7 +290,8 @@ def build_components(args: argparse.Namespace) -> dict[str, Any]:
     if args.scheduler_type == "multi_step":
         import optax
 
-        steps = {m: args.scheduler_gamma for m in args.scheduler_milestones}
+        spe = steps_per_epoch or 1
+        steps = {m * spe: args.scheduler_gamma for m in args.scheduler_milestones}
         lr = optax.piecewise_constant_schedule(args.learning_rate, steps)
     spec = build_optimizer(
         args.optimizer_type,

@@ -1,0 +1,162 @@
+"""Model-library tests: ResNet / Inception / BERT shapes, taps, param counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_quantization_tpu.compress import build_compressor
+from smart_quantization_tpu.inject.tap import TapConfig
+from smart_quantization_tpu.models.bert import BertConfig, BertForSequenceClassification
+from smart_quantization_tpu.models.inception import inception_v3
+from smart_quantization_tpu.models.resnet import resnet18, resnet34, resnet50
+
+
+def param_count(tree):
+    return sum(p.size for p in jax.tree.leaves(tree))
+
+
+def init_model(model, x, train=True, extra_rngs=()):
+    rngs = {"params": jax.random.key(0), "compress": jax.random.key(1)}
+    for name in extra_rngs:
+        rngs[name] = jax.random.key(2)
+    return model.init(rngs, x, train=train)
+
+
+class TestResNet:
+    @pytest.mark.parametrize(
+        "ctor,expected_m",
+        [(resnet18, 11.2), (resnet34, 21.3), (resnet50, 23.5)],
+    )
+    def test_param_counts_match_torchvision_cifar(self, ctor, expected_m):
+        model = ctor(num_classes=10)
+        variables = init_model(model, jnp.zeros((1, 32, 32, 3)))
+        count = param_count(variables["params"]) / 1e6
+        assert count == pytest.approx(expected_m, abs=0.3)
+
+    def test_forward_shape_and_finite(self):
+        tap = TapConfig(compressor=build_compressor("smart", use_pallas=False))
+        model = resnet18(num_classes=100, tap=tap)
+        x = jax.random.normal(jax.random.key(0), (4, 32, 32, 3))
+        variables = init_model(model, x)
+        out, mut = model.apply(
+            variables, x, train=True,
+            rngs={"compress": jax.random.key(3)},
+            mutable=["batch_stats", "compression_stats"],
+        )
+        assert out.shape == (4, 100)
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert len(jax.tree.leaves(mut["compression_stats"])) > 20
+
+    def test_eval_mode_uses_running_stats(self):
+        model = resnet18(num_classes=10)
+        x = jnp.ones((2, 32, 32, 3))
+        variables = init_model(model, x)
+        out = model.apply(
+            variables, x, train=False, rngs={"compress": jax.random.key(0)}
+        )
+        assert out.shape == (2, 10)
+
+    def test_no_tap_no_compress_rng_needed(self):
+        model = resnet18(num_classes=10)
+        x = jnp.ones((2, 32, 32, 3))
+        variables = model.init({"params": jax.random.key(0)}, x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (2, 10)
+
+
+class TestInception:
+    def test_forward_and_params(self):
+        model = inception_v3(num_classes=10)
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 3))
+        variables = init_model(model, x, extra_rngs=("dropout",))
+        # CIFAR Inception-v3 is ~22M params (torchvision's is 27M with the
+        # full stem; ours drops the deep stem like the reference)
+        assert 15 < param_count(variables["params"]) / 1e6 < 30
+        out, _ = model.apply(
+            variables, x, train=True,
+            rngs={"compress": jax.random.key(1), "dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        assert out.shape == (2, 10)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_with_smaq_taps(self):
+        tap = TapConfig(compressor=build_compressor("smart", use_pallas=False))
+        model = inception_v3(num_classes=10, tap=tap)
+        x = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+        variables = init_model(model, x, extra_rngs=("dropout",))
+        out, mut = model.apply(
+            variables, x, train=True,
+            rngs={"compress": jax.random.key(1), "dropout": jax.random.key(2)},
+            mutable=["batch_stats", "compression_stats"],
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestBert:
+    def test_tiny_forward(self):
+        cfg = BertConfig.tiny()
+        tap = TapConfig(compressor=build_compressor("smart", use_pallas=False))
+        model = BertForSequenceClassification(cfg, num_labels=3, tap=tap)
+        ids = jnp.ones((2, 16), jnp.int32)
+        rngs = {
+            "params": jax.random.key(0),
+            "compress": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        }
+        variables = model.init(rngs, ids, train=True)
+        out, mut = model.apply(
+            variables, ids, train=True,
+            rngs={"compress": jax.random.key(3), "dropout": jax.random.key(4)},
+            mutable=["compression_stats"],
+        )
+        assert out.shape == (2, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_regression_head(self):
+        cfg = BertConfig.tiny()
+        model = BertForSequenceClassification(cfg, num_labels=1)
+        ids = jnp.ones((2, 8), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            ids, train=False,
+        )
+        out = model.apply(variables, ids, train=False,
+                          rngs={"compress": jax.random.key(0)})
+        assert out.shape == (2, 1)
+
+    def test_freeze_encoder_stops_gradient(self):
+        cfg = BertConfig.tiny()
+        model = BertForSequenceClassification(cfg, num_labels=2,
+                                              freeze_encoder=True)
+        ids = jnp.ones((2, 8), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            ids, train=False,
+        )
+
+        def loss(params):
+            out = model.apply({"params": params}, ids, train=False,
+                              rngs={"compress": jax.random.key(0)})
+            return jnp.sum(out**2)
+
+        grads = jax.grad(loss)(variables["params"])
+        # encoder grads must be exactly zero; classifier grads nonzero
+        enc = grads["layer_0"]
+        assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(enc))
+        assert float(jnp.abs(grads["classifier"]["kernel"]).max()) > 0
+
+    def test_bert_base_param_count(self):
+        cfg = BertConfig()
+        model = BertForSequenceClassification(cfg, num_labels=2)
+        ids = jnp.ones((1, 4), jnp.int32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1),
+             "dropout": jax.random.key(2)},
+            ids, train=False,
+        )
+        # bert-base ~109M + pooler/classifier
+        assert param_count(variables["params"]) / 1e6 == pytest.approx(109.5, abs=1.5)

@@ -1,0 +1,237 @@
+"""Train-loop, data, metrics, and multi-device parallel tests (8 CPU devices)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smart_quantization_tpu.compress import build_compressor
+from smart_quantization_tpu.data.cifar import CIFAR10Data, augment, normalize
+from smart_quantization_tpu.data.glue import GLUEData, TASK_NUM_LABELS
+from smart_quantization_tpu.inject.tap import TapConfig
+from smart_quantization_tpu.models.tiny import TinyCNN
+from smart_quantization_tpu.optim.compressed import (
+    OptimizerCompression,
+    build_optimizer,
+)
+from smart_quantization_tpu.parallel.collectives import compressed_allreduce_mean
+from smart_quantization_tpu.parallel.mesh import make_mesh
+from smart_quantization_tpu.parallel.train_dp import (
+    make_dp_train_step,
+    replicate_state,
+    shard_batch,
+)
+from smart_quantization_tpu.train.glue_metrics import glue_metrics, pearson, spearman
+from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+from smart_quantization_tpu.train.metrics import MetricLogger
+from smart_quantization_tpu.train.state import TrainState
+
+
+class TestData:
+    def test_cifar_synthetic_fallback(self):
+        data = CIFAR10Data(batch_size=16)
+        assert data.synthetic
+        assert data.val_batch_size == 4  # bs // 4 (reference default)
+        xb, yb = next(data.train_batches(0))
+        assert xb.shape == (16, 32, 32, 3) and xb.dtype == np.uint8
+        assert yb.shape == (16,)
+
+    def test_augment_shapes_and_determinism(self):
+        x = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (4, 32, 32, 3), np.uint8)
+        )
+        a1 = augment(x, jax.random.key(5))
+        a2 = augment(x, jax.random.key(5))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert a1.shape == x.shape
+
+    def test_normalize_stats(self):
+        x = jnp.full((2, 32, 32, 3), 128, jnp.uint8)
+        z = normalize(x)
+        assert np.all(np.abs(np.asarray(z)) < 1.0)
+
+    def test_glue_synthetic(self):
+        data = GLUEData(task="stsb", batch_size=8, max_input_length=32)
+        assert data.is_regression and data.num_labels == 1
+        batch = next(data.train_batches(0))
+        assert batch["input_ids"].shape == (8, 32)
+        assert batch["labels"].dtype == np.float32
+
+    def test_glue_all_tasks_registered(self):
+        assert len(TASK_NUM_LABELS) == 10
+        for task in ("cola", "mnli", "wnli"):
+            d = GLUEData(task=task, batch_size=4, max_input_length=16)
+            b = next(d.train_batches(0))
+            assert b["labels"].dtype == np.int32
+
+
+class TestGlueMetrics:
+    def test_pearson_spearman(self):
+        a = np.array([1.0, 2.0, 3.0, 4.0])
+        assert pearson(a, a * 2 + 1) == pytest.approx(1.0)
+        assert spearman(a, np.array([1.0, 10.0, 100.0, 1000.0])) == pytest.approx(1.0)
+        m = glue_metrics("stsb", a, a[::-1])
+        assert m["pearson_spearman_mean"] == pytest.approx(-1.0)
+
+    def test_classification_metrics(self):
+        p = np.array([1, 0, 1, 1])
+        l = np.array([1, 0, 0, 1])
+        m = glue_metrics("mrpc", p, l)
+        assert m["accuracy"] == 0.75
+        m2 = glue_metrics("cola", p, l)
+        assert -1 <= m2["matthews_correlation"] <= 1
+
+
+class TestTrainerLoop:
+    def _trainer(self, **cfg_kw):
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        data = CIFAR10Data(batch_size=8)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        cfg = TrainConfig(
+            epochs=1, log_every=2, limit_train_batches=3, limit_val_batches=2,
+            measure_compression_ratio=True, **cfg_kw,
+        )
+        return Trainer(
+            model, data, spec,
+            tap_cfg=tap,
+            optim_comp=OptimizerCompression(compressor=comp),
+            loss_compressor=comp,
+            config=cfg,
+            logger=MetricLogger(None),
+        )
+
+    def test_fit_and_evaluate(self):
+        trainer = self._trainer()
+        state = trainer.fit()
+        assert int(state.step) == 3
+        val = trainer.evaluate(state)
+        assert "val_loss" in val and np.isfinite(val["val_loss"])
+        ratios = trainer.ratio_acc.summary()
+        assert "compression_ratio" in ratios
+        assert 4.0 < ratios["compression_ratio"] < 5.4
+
+    def test_nan_termination(self):
+        trainer = self._trainer()
+        trainer.cfg.terminate_on_nan = True
+        # poison the LR to force divergence -> NaN quickly
+        spec = build_optimizer("sgd", 1e12, momentum=0.9)
+        trainer.spec = spec
+        state = trainer.fit()
+        # either NaN was caught (flag set) or training survived 3 steps
+        assert trainer.nan_terminated or int(state.step) == 3
+
+    def test_checkpoint_roundtrip(self, tmp_path):
+        trainer = self._trainer(checkpoint_dir=str(tmp_path))
+        state = trainer.fit()
+        ckpts = list(tmp_path.iterdir())
+        assert len(ckpts) == 1
+        from smart_quantization_tpu.train.loop import restore_checkpoint
+
+        restored = restore_checkpoint(str(ckpts[0]), jax.device_get(state))
+        assert int(restored.step) == int(state.step)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(restored.params)[0]),
+            np.asarray(jax.tree.leaves(state.params)[0]),
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+class TestParallel:
+    def test_compressed_allreduce_matches_pmean(self):
+        mesh = make_mesh(dp=8)
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        x = jax.random.normal(jax.random.key(0), (8, 256)) * 3.0
+
+        def f(x):
+            local = x.reshape(256)
+            return compressed_allreduce_mean(
+                {"g": local}, "data", None, bits=8
+            )["g"]
+
+        out = jax.jit(
+            shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                      check_rep=False)
+        )(x)
+        expected = jnp.mean(x, axis=0)
+        got = np.asarray(out)[:256]
+        # int8 quantization error per shard ~ max|x|/127
+        err = np.abs(got - np.asarray(expected))
+        assert err.max() < np.abs(np.asarray(x)).max() / 127 * 1.5
+
+    def test_dp_train_step_runs_and_replicates(self):
+        mesh = make_mesh(dp=8)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.1, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        state = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        state = replicate_state(mesh, state)
+        step = make_dp_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh
+        )
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 32, 32, 3), np.uint8)
+        )
+        labels = jnp.asarray(np.random.RandomState(1).randint(0, 10, 16))
+        images, labels = shard_batch(mesh, images, labels)
+        state, metrics = step(state, images, labels, jax.random.key(2))
+        assert np.isfinite(float(metrics["train_loss"]))
+        assert int(state.step) == 1
+
+    def test_fsdp_sharding_helper(self):
+        from smart_quantization_tpu.parallel.mesh import fsdp_sharding
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        leaf = jax.ShapeDtypeStruct((128, 64), jnp.float32)
+        s = fsdp_sharding(mesh, leaf)
+        assert "fsdp" in str(s.spec)
+        odd = jax.ShapeDtypeStruct((3, 5), jnp.float32)
+        s2 = fsdp_sharding(mesh, odd)
+        assert s2.spec == jax.sharding.PartitionSpec()
+
+    def test_fsdp_train_step(self):
+        from smart_quantization_tpu.parallel.train_fsdp import (
+            make_fsdp_train_step,
+            place_state,
+        )
+
+        mesh = make_mesh(dp=4, fsdp=2)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.1, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        state = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        state = place_state(mesh, state)
+        step = make_fsdp_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh
+        )(state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        bsh = NamedSharding(mesh, P("data"))
+        images = jax.device_put(jnp.zeros((8, 32, 32, 3), jnp.uint8), bsh)
+        labels = jax.device_put(jnp.zeros((8,), jnp.int32), bsh)
+        state, metrics = step(state, images, labels, jax.random.key(2))
+        assert np.isfinite(float(metrics["train_loss"]))
+        assert int(state.step) == 1

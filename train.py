@@ -28,15 +28,14 @@ def main(argv=None):
     from smart_quantization_tpu.train.loop import TrainConfig, Trainer
     from smart_quantization_tpu.train.metrics import MetricLogger
 
-    comps = build_components(args)
-
     if args.model == "bert":
         from smart_quantization_tpu.train.bert_loop import run_bert
 
-        return run_bert(args, comps)
+        return run_bert(args)
 
     data_cls = {"cifar10": CIFAR10Data, "cifar100": CIFAR100Data}[args.dataset]
     data = data_cls(batch_size=args.batch_size, val_batch_size=args.val_batch_size)
+    comps = build_components(args, steps_per_epoch=data.steps_per_epoch)
     if data.synthetic:
         print("NOTE: CIFAR archives not found under $SMAQ_DATA_DIR; "
               "using the synthetic stand-in dataset.")
@@ -58,6 +57,7 @@ def main(argv=None):
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
         seed=args.seed,
+        measure_average_grad_norm=args.measure_average_grad_norm,
     )
     logger = MetricLogger(args.logdir, args.name)
     trainer = Trainer(
