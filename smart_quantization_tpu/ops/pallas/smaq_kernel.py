@@ -6,18 +6,25 @@ layer output (SURVEY.md section 3.2); its FPGA accelerators
 plays on TPU: one streaming pass that quantizes and immediately dequantizes a
 tensor against per-tensor (mean, std) statistics.
 
-Design:
-- stats are computed by an XLA reduction (HBM-roofline already; sampled stats
-  are O(1)), clamped/zero-guarded on the host side of the kernel;
-- the kernel streams (BR, 1024) fp32 blocks HBM->VMEM, does the two-bucket
-  z-score quantize + stochastic round + exact dequant on the VPU with the
-  per-core PRNG, accumulates the data-dependent outlier count across the
-  sequential grid, and streams the result back out: exactly one HBM read and
-  one HBM write per element — the speed-of-light for fake quantization;
-- zero-padding to block granularity is corrected out of the outlier count.
+Design notes (measured on a v5e chip):
+- the per-element path is division-free (VPU divides cost ~8x a multiply);
+  all scalar prep (std guard/clamp, reciprocals) happens as SMEM scalar math
+  inside the kernel — host-side jnp scalar ops cost one dispatch each, which
+  dominates on dispatch-latency-bound deployments;
+- sampled stats (``use_sample_stats``) are computed *inside* the kernel from
+  ``num_samples`` positions strided across the first block (mirroring the
+  HLS SAMPLE_STATS variant's deterministic stride, smaq-with-bn.cpp:21-28);
+  random-index host-side gathers measured ~1000x slower than in-VMEM reads;
+- full stats use one fused XLA mean/std reduction (an unavoidable extra read
+  pass);
+- the data-dependent outlier count accumulates across the sequential grid in
+  SMEM; zero-padding's contribution is corrected on the way out;
+- stochastic rounding uses the per-core PRNG seeded from the raw key bits
+  (calling threefry for one scalar costs a dispatch); uniform probs take the
+  top 24 bits so the float32 conversion is exact.
 
-Bit-twiddling note: uniform probs come from the top 24 bits of the on-chip
-PRNG so the float32 conversion is exact.
+Traffic: exactly one HBM read + one HBM write per element (sampled-stats
+mode) — the speed-of-light for fake quantization.
 """
 
 from __future__ import annotations
@@ -46,10 +53,11 @@ _INV_2_24 = float(2.0**-24)
 
 def _kernel(
     seed_ref,
-    scalars_ref,
+    stats_ref,
     x_ref,
     y_ref,
     count_ref,
+    scratch_ref,
     *,
     t: float,
     range_main: float,
@@ -58,28 +66,60 @@ def _kernel(
     all_positive: bool,
     std_clamp_lo: float,
     std_clamp_hi: float,
+    sample_in_kernel: bool,
+    num_samples: int,
+    block_rows: int,
+    pad: int,
+    n_elems: int,
+    num_bits_main: int,
+    num_bits_outlier: int,
 ):
-    """Division-free SmaQ quantize->dequantize on one (BR, LANES) block.
-
-    scalars_ref (SMEM, (1, 2)): raw [mean, std].  The zero-std guard, clamp,
-    and reciprocal all happen here as scalar SMEM math — doing them as jnp
-    host-side ops costs a swarm of tiny XLA kernels per call, which dominates
-    runtime on dispatch-latency-bound backends.  The per-element path is
-    division-free (VPU divides cost ~8x a multiply)."""
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _init():
         count_ref[0, 0] = jnp.float32(0.0)
+        if sample_in_kernel:
+            # stratified sample: num_samples positions strided across block 0
+            # via a vectorized mask (scalar VMEM loads compile poorly)
+            xb = x_ref[:]
+            ridx = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
+            lin = ridx * _LANES + cidx
+            stride = max((block_rows * _LANES) // num_samples, 1)
+            m = (lin % stride) == 0
+            k = jnp.float32(block_rows * _LANES // stride)
+            s = jnp.sum(jnp.where(m, xb, 0.0))
+            ssq = jnp.sum(jnp.where(m, xb * xb, 0.0))
+            m1 = s / k
+            var = ssq / k - m1 * m1
+            scratch_ref[0] = m1
+            scratch_ref[1] = jnp.sqrt(jnp.maximum(var, 0.0))
+        else:
+            scratch_ref[0] = stats_ref[0, 0]
+            scratch_ref[1] = stats_ref[0, 1]
+
+        # derive all per-tensor scalars ONCE; later blocks only read scratch
+        # (scalar-unit work on every block stalls the DMA pipeline)
+        mean0 = scratch_ref[0]
+        std0 = scratch_ref[1]
+        std0 = jnp.where(std0 == 0.0, jnp.float32(1.0), std0)
+        std0 = jnp.clip(std0, jnp.float32(std_clamp_lo), jnp.float32(std_clamp_hi))
+        scratch_ref[2] = jnp.float32(1.0) / std0  # a
+        scratch_ref[3] = -mean0 * scratch_ref[2]  # b
+        scratch_ref[4] = std0 * jnp.float32(1.0 / range_outlier)
+        scratch_ref[5] = std0 * jnp.float32(1.0 / range_main)
+        scratch_ref[6] = jnp.float32(t) * std0
+        scratch_ref[7] = mean0
+
+    a = scratch_ref[2]
+    b = scratch_ref[3]
+    inv_out_std = scratch_ref[4]
+    inv_main_std = scratch_ref[5]
+    t_std = scratch_ref[6]
+    mean = scratch_ref[7]
 
     x = x_ref[:]
-    mean = scalars_ref[0, 0]
-    std = scalars_ref[0, 1]
-    std = jnp.where(std == 0.0, jnp.float32(1.0), std)
-    std = jnp.clip(std, jnp.float32(std_clamp_lo), jnp.float32(std_clamp_hi))
-    a = jnp.float32(1.0) / std
-    b = -mean * a
-
     z = x * a + b
     hi = z > t
     lo = z < -t
@@ -101,19 +141,28 @@ def _kernel(
         q = jnp.trunc(q)
 
     # y = (q / scale - shift) * std + mean, with reciprocals folded in
-    inv_scale_std = jnp.where(
-        outlier,
-        std * jnp.float32(1.0 / range_outlier),
-        std * jnp.float32(1.0 / range_main),
-    )
-    shift_term = jnp.where(
-        hi, jnp.float32(t) * std, jnp.where(lo, jnp.float32(-t) * std, 0.0)
-    )
+    inv_scale_std = jnp.where(outlier, inv_out_std, inv_main_std)
+    shift_term = jnp.where(hi, t_std, jnp.where(lo, -t_std, 0.0))
     y = q * inv_scale_std + shift_term + mean
     if all_positive:
         y = jnp.maximum(y, 0.0)
     y_ref[:] = y
     count_ref[0, 0] += jnp.sum(outlier.astype(jnp.float32))
+
+    # final grid step: correct the zero-padding contribution and turn the
+    # outlier count into the data-dependent size in bits — the kernel's
+    # scalar output IS new_size, so the caller does no host-side math
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _finalize():
+        cnt = count_ref[0, 0]
+        if pad:
+            pad_z = jnp.abs(b)  # |(0 - mean)/std|
+            is_out = (pad_z > t).astype(jnp.float32)
+            cnt = cnt - jnp.float32(pad) * is_out
+        count_ref[0, 0] = (
+            jnp.float32(n_elems * num_bits_main)
+            + cnt * jnp.float32(num_bits_outlier - num_bits_main)
+        )
 
 
 def _round_up(v: int, m: int) -> int:
@@ -132,26 +181,42 @@ def smaq_fused(
     interpret: bool = False,
     mean: jax.Array | None = None,
     std: jax.Array | None = None,
+    seed: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel SmaQ; same contract as ``smaq_quantize_dequantize``.
-    Precomputed ``mean``/``std`` skip the stats pass."""
+    Precomputed ``mean``/``std`` skip the stats pass.  A raw int32 ``seed``
+    bypasses key plumbing entirely (zero host-side RNG ops)."""
     orig_dtype = x.dtype
     n = x.size
     if n < params.min_size:
         return x, jnp.float32(n * 32)
 
     xf = x.astype(jnp.float32)
-    if mean is None or std is None:
-        mean, std = compute_stats(xf, params, key)
+    sample_in_kernel = (
+        params.use_sample_stats and mean is None and n > params.num_samples
+    )
+    if sample_in_kernel:
+        stats2 = jnp.zeros((1, 2), jnp.float32)  # computed in-kernel
+        mean = std = None
+    else:
+        if mean is None or std is None:
+            full = SmaQParams(**{
+                **{f: getattr(params, f) for f in params.__dataclass_fields__},
+                "use_sample_stats": False,
+            })
+            mean, std = compute_stats(xf, full, None)
+        stats2 = jnp.concatenate(
+            [jnp.reshape(mean, (1, 1)), jnp.reshape(std, (1, 1))], axis=1
+        ).astype(jnp.float32)
 
-    if params.stochastic_rounding and key is not None:
+    if seed is not None:
+        seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
+    elif params.stochastic_rounding and key is not None:
         # seed the in-kernel PRNG from the raw key bits — calling threefry
         # (jax.random.bits) for one scalar costs a dispatch per tensor
-        seed = (
-            jax.lax.bitcast_convert_type(
-                jax.random.key_data(key).reshape(-1)[-1:], jnp.int32
-            ).reshape(1, 1)
-        )
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.key_data(key).reshape(-1)[-1:], jnp.int32
+        ).reshape(1, 1)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
@@ -175,12 +240,16 @@ def smaq_fused(
         all_positive=all_positive,
         std_clamp_lo=params.std_clamp_lo,
         std_clamp_hi=params.std_clamp_hi,
+        sample_in_kernel=sample_in_kernel,
+        num_samples=params.num_samples,
+        block_rows=block_rows,
+        pad=pad,
+        n_elems=n,
+        num_bits_main=params.num_bits_main,
+        num_bits_outlier=params.num_bits_outlier,
     )
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     scalars2_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    stats2 = jnp.concatenate(
-        [mean.reshape(1, 1), std.reshape(1, 1)], axis=1
-    ).astype(jnp.float32)
     y2d, count = pl.pallas_call(
         kernel,
         grid=grid,
@@ -201,24 +270,12 @@ def smaq_fused(
             jax.ShapeDtypeStruct((padded_rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
+        scratch_shapes=[pltpu.SMEM((8,), jnp.float32)],
         interpret=interpret,
     )(seed, stats2, x2d)
 
-    n_outliers = count[0, 0]
-    if pad:
-        # padding zeros were counted as data; remove their contribution
-        guarded_std = jnp.clip(
-            jnp.where(std == 0.0, 1.0, std), params.std_clamp_lo, params.std_clamp_hi
-        )
-        pad_z = (0.0 - mean) / guarded_std
-        pad_is_outlier = jnp.abs(pad_z) > params.main_std_dev_threshold
-        n_outliers = n_outliers - jnp.float32(pad) * pad_is_outlier.astype(jnp.float32)
-
     y = y2d.reshape(-1)[:n].reshape(x.shape)
-    new_size = (
-        n_outliers * params.num_bits_outlier
-        + (jnp.float32(n) - n_outliers) * params.num_bits_main
-    )
+    new_size = count[0, 0]  # finalized in-kernel (pad-corrected, in bits)
     return y.astype(orig_dtype), new_size
 
 
@@ -238,7 +295,8 @@ def smaq_fused_or_reference(
     """Dispatch to the fused TPU kernel when profitable, else the jnp path.
 
     Both paths implement identical math; they differ only in the PRNG stream
-    driving stochastic rounding.
+    driving stochastic rounding (and the sampled-stats positions: the kernel
+    samples stratified positions, the jnp path samples a random stratum).
     """
     if _use_pallas() and x.size >= _MIN_PALLAS_ELEMS:
         return smaq_fused(x, key, params, all_positive=all_positive)

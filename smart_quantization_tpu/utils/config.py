@@ -121,6 +121,8 @@ def add_imdb_args(parser: argparse.ArgumentParser) -> None:
 
 def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_epochs", type=int, default=1)
+    parser.add_argument("--auto_lr_find", action="store_true")
+    parser.add_argument("--auto_scale_batch_size", action="store_true")
     parser.add_argument("--limit_train_batches", type=int)
     parser.add_argument("--limit_val_batches", type=int)
     parser.add_argument("--log_every", type=int, default=50)

@@ -70,6 +70,37 @@ def main(argv=None):
         config=cfg,
         logger=logger,
     )
+    if args.auto_scale_batch_size:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from smart_quantization_tpu.train.tune import auto_scale_batch_size
+
+        def try_batch(bs):
+            st = trainer.init_state(jax.random.key(0))
+            step = trainer.build_train_step()
+            step(
+                st,
+                jnp.zeros((bs, 32, 32, 3), jnp.uint8),
+                jnp.zeros((bs,), jnp.int32),
+                jax.random.key(1),
+            )
+
+        best = auto_scale_batch_size(try_batch, init_size=args.batch_size)
+        print(f"auto_scale_batch_size: {best}")
+        data.batch_size = best
+    if args.auto_lr_find:
+        from smart_quantization_tpu.optim.compressed import build_optimizer
+        from smart_quantization_tpu.train.tune import auto_lr_find
+
+        lr = auto_lr_find(trainer)
+        print(f"auto_lr_find suggestion: {lr:.3e}")
+        trainer.spec = build_optimizer(
+            args.optimizer_type, lr, momentum=args.momentum,
+            weight_decay=args.weight_decay, beta1=args.beta1,
+            beta2=args.beta2, epsilon=args.epsilon,
+        )
+        trainer._train_step = None
     state = trainer.fit()
     final = trainer.evaluate(state)
     print("final:", final)
