@@ -82,7 +82,11 @@ class FloatEncoder(CompressorBase):
         return y
 
     def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
-        y = float_quantize(
+        from smart_quantization_tpu.ops.pallas.float_kernel import (
+            float_quantize_fused_or_reference,
+        )
+
+        y = float_quantize_fused_or_reference(
             x, self.fmt, key, stochastic=self.stochastic, check_inf=self.check_inf
         )
         y = self._maybe_half(y).astype(x.dtype)

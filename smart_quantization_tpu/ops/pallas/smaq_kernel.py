@@ -81,14 +81,16 @@ def _kernel(
         count_ref[0, 0] = jnp.float32(0.0)
         if sample_in_kernel:
             # stratified sample: num_samples positions strided across block 0
-            # via a vectorized mask (scalar VMEM loads compile poorly)
+            # via a vectorized mask (scalar VMEM loads compile poorly);
+            # restricted to the real extent so zero padding can't bias stats
             xb = x_ref[:]
             ridx = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 0)
             cidx = jax.lax.broadcasted_iota(jnp.int32, xb.shape, 1)
             lin = ridx * _LANES + cidx
-            stride = max((block_rows * _LANES) // num_samples, 1)
-            m = (lin % stride) == 0
-            k = jnp.float32(block_rows * _LANES // stride)
+            n_block = min(n_elems, block_rows * _LANES)
+            stride = max(n_block // num_samples, 1)
+            m = ((lin % stride) == 0) & (lin < n_block)
+            k = jnp.float32(len(range(0, n_block, stride)))
             s = jnp.sum(jnp.where(m, xb, 0.0))
             ssq = jnp.sum(jnp.where(m, xb * xb, 0.0))
             m1 = s / k
@@ -169,6 +171,17 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
+def _bucket_rows(rows: int) -> int:
+    """Round the row count up to a power of two so every tensor size maps to
+    one of ~16 kernel shapes — a model with dozens of distinct layer sizes
+    would otherwise pay one (slow, remote) mosaic compile per size.  Padding
+    waste is bounded by 2x and is zero for power-of-two sizes."""
+    p = 8
+    while p < rows:
+        p *= 2
+    return p
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "all_positive", "interpret")
 )
@@ -223,8 +236,8 @@ def smaq_fused(
     flat = xf.reshape(-1)
     padded_n = _round_up(n, _LANES)
     rows = padded_n // _LANES
-    block_rows = min(_MAX_BLOCK_ROWS, _round_up(rows, 8))
-    padded_rows = _round_up(rows, block_rows)
+    padded_rows = _bucket_rows(rows)
+    block_rows = min(_MAX_BLOCK_ROWS, padded_rows)
     pad = padded_rows * _LANES - n
     if pad:
         flat = jnp.pad(flat, (0, pad))

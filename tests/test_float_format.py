@@ -117,3 +117,24 @@ class TestFormats:
         ours = float_quantize(x, BF16_FORMAT, None, stochastic=False, check_inf=False)
         native = x.astype(jnp.bfloat16).astype(jnp.float32)
         np.testing.assert_array_equal(np.asarray(ours), np.asarray(native))
+
+
+class TestFusedFloatKernel:
+    """Pallas float kernel vs jnp reference (interpret mode on CPU)."""
+
+    @pytest.mark.parametrize("fmt", [FP8_FORMAT, FP16_FORMAT, BF16_FORMAT])
+    def test_deterministic_matches_reference(self, fmt):
+        from smart_quantization_tpu.ops.pallas.float_kernel import (
+            float_quantize_fused,
+        )
+
+        x = jnp.concatenate([
+            jax.random.normal(jax.random.key(0), (8192,)) * 2.0,
+            jax.random.normal(jax.random.key(1), (4096,)) * 1e-6,
+            jnp.array([0.0, -0.0, 1e38, -1e38], jnp.float32),
+        ])
+        y_ref = float_quantize(x, fmt, None, stochastic=False, check_inf=True)
+        y_k = float_quantize_fused(
+            x, fmt, None, stochastic=False, check_inf=True, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(y_k), np.asarray(y_ref))

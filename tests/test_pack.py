@@ -83,3 +83,42 @@ class TestSmaQPacked:
         y, n_out = codec(x, jax.random.key(5))
         assert y.shape == x.shape
         assert 0 < float(n_out) < x.size
+
+
+class TestCompressedCheckpoint:
+    def test_roundtrip_and_size(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from smart_quantization_tpu.ops.pack import PackSpec
+        from smart_quantization_tpu.ops.smaq import SmaQParams
+        from smart_quantization_tpu.train.checkpoint import (
+            pack_tree,
+            restore_compressed,
+            save_compressed,
+            tree_nbytes,
+            unpack_tree,
+        )
+
+        state = {
+            "w": jax.random.normal(jax.random.key(0), (64, 128)),
+            "mu": jax.random.normal(jax.random.key(1), (64, 128)) * 0.01,
+            "small": jnp.ones((3,)),
+            "step": jnp.int32(7),
+        }
+        spec = PackSpec(params=SmaQParams(stochastic_rounding=False))
+        packed = pack_tree(state, jax.random.key(2), spec)
+        assert tree_nbytes(packed) < tree_nbytes(state) * 0.45
+        restored = unpack_tree(packed, spec)
+        assert int(restored["step"]) == 7
+        np.testing.assert_array_equal(
+            np.asarray(restored["small"]), np.asarray(state["small"])
+        )
+        err = np.abs(np.asarray(restored["w"]) - np.asarray(state["w"]))
+        assert err.mean() < 0.05  # SmaQ 6/8 quantization error scale
+
+        path = tmp_path / "ckpt"
+        save_compressed(str(path), state, jax.random.key(3), spec)
+        back = restore_compressed(str(path), spec)
+        assert int(back["step"]) == 7
+        assert back["w"].shape == (64, 128)
