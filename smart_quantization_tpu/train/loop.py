@@ -57,6 +57,9 @@ class TrainConfig:
     seed: int = 0
     # average per-parameter gradient-norm probe (models/base.py:84-96,165-180)
     measure_average_grad_norm: bool = False
+    # jax.profiler trace dir (the reference's --profiler advanced role)
+    profile_dir: str | None = None
+    profile_steps: int = 10
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -79,6 +82,8 @@ class Trainer:
         config: TrainConfig = TrainConfig(),
         lr_schedule: Callable[[jax.Array], jax.Array] | None = None,
         logger: MetricLogger | None = None,
+        mesh=None,
+        grad_allreduce_bits: int | None = 8,
     ):
         self.model = model
         self.data = data
@@ -92,6 +97,10 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.nan_terminated = False
+        # data-parallel mesh (reference: Lightning DDP).  When set, the step
+        # runs under shard_map with the quantized-gradient all-reduce.
+        self.mesh = mesh
+        self.grad_allreduce_bits = grad_allreduce_bits
 
     # ---------------------------------------------------------------- init
     def init_state(self, key: jax.Array) -> TrainState:
@@ -107,7 +116,18 @@ class Trainer:
 
     # ---------------------------------------------------------------- steps
     def build_train_step(self):
-        weight_exempt_cache = {}
+        if self.mesh is not None:
+            from smart_quantization_tpu.parallel.train_dp import (
+                make_dp_train_step,
+            )
+
+            return make_dp_train_step(
+                self.model,
+                self.spec,
+                self.optim_comp,
+                self.mesh,
+                grad_allreduce_bits=self.grad_allreduce_bits,
+            )
 
         def train_step(state: TrainState, images_u8, labels, key):
             k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
@@ -192,11 +212,26 @@ class Trainer:
         if state is None:
             key, k_init = jax.random.split(key)
             state = self.init_state(k_init)
+        if self.mesh is not None:
+            from smart_quantization_tpu.parallel.train_dp import replicate_state
+
+            state = replicate_state(self.mesh, state)
         if self._train_step is None:
             self._train_step = self.build_train_step()
             self._eval_step = self.build_eval_step()
+        if self.cfg.measure_compression_ratio:
+            # backward-pass (gradient-map) sizes escape the vjp via the host
+            # sink (inject/tap.py)
+            from smart_quantization_tpu.inject.tap import set_backward_stats_sink
+
+            set_backward_stats_sink(self.ratio_acc.add)
 
         step = int(state.step)
+        profiling = False
+        profile_end = step + self.cfg.profile_steps
+        if self.cfg.profile_dir:
+            jax.profiler.start_trace(self.cfg.profile_dir)
+            profiling = True
         for epoch in range(self.cfg.epochs):
             t0 = time.time()
             pending = []  # (step, metrics) not yet synced
@@ -209,10 +244,13 @@ class Trainer:
                 ):
                     break
                 key, k_step = jax.random.split(key)
-                state, metrics = self._train_step(
-                    state, jnp.asarray(images), jnp.asarray(labels), k_step
-                )
+                images, labels = self._place_batch(images, labels)
+                state, metrics = self._train_step(state, images, labels, k_step)
                 step += 1
+                if profiling and step >= profile_end:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    profiling = False
                 pending.append((step, metrics))
                 if step % self.cfg.log_every == 0:
                     if self._drain(pending):
@@ -221,6 +259,9 @@ class Trainer:
             if self._drain(pending):
                 return state
 
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
             val = self.evaluate(state)
             val["epoch"] = epoch
             val["epoch_time_s"] = time.time() - t0
@@ -252,6 +293,15 @@ class Trainer:
                 return True
         return False
 
+    def _place_batch(self, images, labels):
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        if self.mesh is not None:
+            from smart_quantization_tpu.parallel.train_dp import shard_batch
+
+            images, labels = shard_batch(self.mesh, images, labels)
+        return images, labels
+
     def evaluate(self, state: TrainState) -> dict[str, float]:
         losses, correct, count = [], 0.0, 0
         for bi, (images, labels) in enumerate(self.data.val_batches()):
@@ -260,7 +310,8 @@ class Trainer:
                 and bi >= self.cfg.limit_val_batches
             ):
                 break
-            loss, c = self._eval_step(state, jnp.asarray(images), jnp.asarray(labels))
+            images, labels = self._place_batch(images, labels)
+            loss, c = self._eval_step(state, images, labels)
             losses.append(float(loss))
             correct += float(c)
             count += len(labels)

@@ -60,6 +60,13 @@ def main(argv=None):
         measure_average_grad_norm=args.measure_average_grad_norm,
     )
     logger = MetricLogger(args.logdir, args.name)
+    mesh = None
+    if args.dp and args.dp > 1:
+        from smart_quantization_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
+        print(f"data-parallel mesh over {args.dp} devices; "
+              f"gradient all-reduce bits: {args.grad_allreduce_bits or 'fp32'}")
     trainer = Trainer(
         model,
         data,
@@ -69,6 +76,8 @@ def main(argv=None):
         loss_compressor=comps["compressor"],
         config=cfg,
         logger=logger,
+        mesh=mesh,
+        grad_allreduce_bits=args.grad_allreduce_bits,
     )
     if args.auto_scale_batch_size:
         import jax.numpy as jnp
