@@ -46,6 +46,9 @@ def detect_roofline() -> float:
 def main():
     from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused
     from smart_quantization_tpu.ops.smaq import SmaQParams
+    from smart_quantization_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1 << 26 if on_tpu else 1 << 20  # 64M floats on TPU (256 MB)

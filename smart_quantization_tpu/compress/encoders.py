@@ -12,6 +12,7 @@ Parity targets (reference files):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,20 @@ class SmaQ(CompressorBase):
             x_hat, new_bits = smaq_fused_or_reference(
                 x, key, self.params, all_positive=all_positive
             )
+        elif (
+            self.use_pallas
+            and gamma is not None
+            and getattr(gamma, "ndim", 0) == 1
+            and x.ndim >= 2
+            and x.shape[-1] == gamma.shape[0]
+            and x.size >= 8192
+            and not all_positive
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("SMAQ_DISABLE_PALLAS")
+        ):
+            from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused_bn
+
+            x_hat, new_bits = smaq_fused_bn(x, key, gamma, beta, self.params)
         else:
             x_hat, new_bits = smaq_quantize_dequantize(
                 x,

@@ -314,3 +314,197 @@ def smaq_fused_or_reference(
     if _use_pallas() and x.size >= _MIN_PALLAS_ELEMS:
         return smaq_fused(x, key, params, all_positive=all_positive)
     return smaq_quantize_dequantize(x, key, params, all_positive=all_positive)
+
+
+# --------------------------------------------------------------------------
+# BN-folded variant: channels-last layout, per-channel (gamma, beta) folded
+# into the normalize/denormalize, mirroring the HLS smaq-with-bn kernel
+# (/root/reference/hw/smaq-with-bn.cpp:112-134) and the reference Python BN
+# path (smart.py:144-149,174-179) including its stats-before-unfold quirk.
+# --------------------------------------------------------------------------
+
+
+def _kernel_bn(
+    seed_ref,
+    stats_ref,
+    gamma_ref,
+    beta_ref,
+    x_ref,
+    y_ref,
+    count_ref,
+    scratch_ref,
+    *,
+    t: float,
+    range_main: float,
+    range_outlier: float,
+    stochastic: bool,
+    std_clamp_lo: float,
+    std_clamp_hi: float,
+    pad_rows: int,
+    n_rows: int,
+    num_bits_main: int,
+    num_bits_outlier: int,
+    c_real: int,
+    c_pad: int,
+):
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        count_ref[0, 0] = jnp.float32(0.0)
+        std0 = stats_ref[0, 1]
+        std0 = jnp.where(std0 == 0.0, jnp.float32(1.0), std0)
+        std0 = jnp.clip(std0, jnp.float32(std_clamp_lo), jnp.float32(std_clamp_hi))
+        scratch_ref[0] = stats_ref[0, 0]  # mean
+        scratch_ref[1] = std0
+
+    mean = scratch_ref[0]
+    std = scratch_ref[1]
+
+    # per-lane fold vectors (vector math each block; no scalar-unit stalls)
+    gamma = gamma_ref[:]
+    beta = beta_ref[:]
+    safe_gamma = jnp.where(gamma == 0.0, jnp.float32(1.0), gamma)
+    inv_gs = jnp.float32(1.0) / (safe_gamma * std)
+    a_vec = inv_gs                                   # z = x*A + B
+    b_vec = -(beta * inv_gs) - mean / std
+    g_vec = std * safe_gamma                         # y = zhat*G + H
+    h_vec = mean * safe_gamma + beta
+
+    x = x_ref[:]
+    z = x * a_vec + b_vec
+    hi = z > t
+    lo = z < -t
+    outlier = hi | lo
+    shift = jnp.where(hi, jnp.float32(-t), jnp.where(lo, jnp.float32(t), 0.0))
+    scale = jnp.where(outlier, jnp.float32(range_outlier), jnp.float32(range_main))
+    q = (z + shift) * scale
+    floored = jnp.floor(q)
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0, 0] + pid)
+        rbits = pltpu.bitcast(pltpu.prng_random_bits(q.shape), jnp.uint32)
+        probs = pltpu.bitcast(rbits >> 8, jnp.int32).astype(jnp.float32) * jnp.float32(
+            _INV_2_24
+        )
+        q = floored + ((q - floored) > probs).astype(jnp.float32)
+    else:
+        q = jnp.trunc(q)
+    inv_scale = jnp.where(
+        outlier, jnp.float32(1.0 / range_outlier), jnp.float32(1.0 / range_main)
+    )
+    zhat = q * inv_scale - shift
+    y_ref[:] = zhat * g_vec + h_vec
+
+    # count only real elements (mask out row/channel padding)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    block_rows = x.shape[0]
+    real = ((pid * block_rows + ridx) < n_rows) & (cidx < c_real)
+    count_ref[0, 0] += jnp.sum((outlier & real).astype(jnp.float32))
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _finalize():
+        n_real = jnp.float32(n_rows * c_real)
+        count_ref[0, 0] = (
+            n_real * num_bits_main
+            + count_ref[0, 0] * jnp.float32(num_bits_outlier - num_bits_main)
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def smaq_fused_bn(
+    x: jax.Array,
+    key: jax.Array | None,
+    gamma: jax.Array,
+    beta: jax.Array,
+    params: SmaQParams = SmaQParams(),
+    *,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """BN-folded fused SmaQ for channels-last tensors.
+
+    ``gamma``/``beta`` are per-channel vectors over the LAST axis.  Stats are
+    the full-tensor mean/std computed BEFORE the BN unfold (the reference
+    quirk, smart.py:130-149); zero gammas are guarded to 1 to avoid NaN (a
+    hazard the reference leaves in place)."""
+    orig_dtype = x.dtype
+    n = x.size
+    if n < params.min_size:
+        return x, jnp.float32(n * 32)
+
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(-1, c)
+    n_rows = xf.shape[0]
+
+    # stats on the raw tensor (pre-unfold), full or sampled via jnp
+    mean, std = compute_stats(xf, params, key)
+    stats2 = jnp.concatenate(
+        [jnp.reshape(mean, (1, 1)), jnp.reshape(std, (1, 1))], axis=1
+    ).astype(jnp.float32)
+
+    if params.stochastic_rounding and key is not None:
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.key_data(key).reshape(-1)[-1:], jnp.int32
+        ).reshape(1, 1)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+
+    c_pad = _round_up(c, 128)
+    padded_rows = _bucket_rows(n_rows)
+    block_rows = min(_MAX_BLOCK_ROWS, padded_rows)
+    if c_pad != c or padded_rows != n_rows:
+        xf = jnp.pad(xf, ((0, padded_rows - n_rows), (0, c_pad - c)))
+    gamma2 = jnp.pad(
+        gamma.astype(jnp.float32).reshape(1, c), ((0, 0), (0, c_pad - c)),
+        constant_values=1.0,
+    )
+    beta2 = jnp.pad(
+        beta.astype(jnp.float32).reshape(1, c), ((0, 0), (0, c_pad - c))
+    )
+
+    kernel = functools.partial(
+        _kernel_bn,
+        t=params.main_std_dev_threshold,
+        range_main=params.range_main,
+        range_outlier=params.range_outlier,
+        stochastic=params.stochastic_rounding,
+        std_clamp_lo=params.std_clamp_lo,
+        std_clamp_hi=params.std_clamp_hi,
+        pad_rows=padded_rows - n_rows,
+        n_rows=n_rows,
+        num_bits_main=params.num_bits_main,
+        num_bits_outlier=params.num_bits_outlier,
+        c_real=c,
+        c_pad=c_pad,
+    )
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    scalars2_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    chan_spec = pl.BlockSpec((1, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    y2d, count = pl.pallas_call(
+        kernel,
+        grid=(padded_rows // block_rows,),
+        in_specs=[
+            scalar_spec,
+            scalars2_spec,
+            chan_spec,
+            chan_spec,
+            pl.BlockSpec(
+                (block_rows, c_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block_rows, c_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scalar_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded_rows, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
+        interpret=interpret,
+    )(seed, stats2, gamma2, beta2, xf)
+
+    y = y2d[:n_rows, :c].reshape(x.shape)
+    return y.astype(orig_dtype), count[0, 0]

@@ -78,10 +78,11 @@ class BertTrainer:
             k_fwd, k_drop, k_opt, k_loss = jax.random.split(key, 4)
 
             def loss_fn(params):
+                # mutable=False (not []) so flax returns bare logits
                 mutable = (
                     ["compression_stats"]
                     if self.cfg.measure_compression_ratio
-                    else []
+                    else False
                 )
                 out = self.model.apply(
                     {"params": params},

@@ -164,3 +164,32 @@ class TestFusedKernelInterpret:
         assert abs(err.mean()) < 1e-3
         assert err.std() < 0.1
         assert float(bits) > 0
+
+
+class TestFusedBNKernelInterpret:
+    def test_bn_matches_reference(self):
+        from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused_bn
+
+        params = make_params()
+        x = jax.random.normal(jax.random.key(0), (64, 16, 16, 32)) * 1.5 + 0.4
+        gamma = jnp.linspace(0.5, 2.0, 32)
+        beta = jnp.linspace(-0.5, 0.5, 32)
+        y_ref, bits_ref = smaq_quantize_dequantize(
+            x, None, params, gamma=gamma, beta=beta
+        )
+        y_k, bits_k = smaq_fused_bn(x, None, gamma, beta, params, interpret=True)
+        diff = np.abs(np.asarray(y_k) - np.asarray(y_ref))
+        flipped = diff > 1e-4
+        assert flipped.mean() < 1e-3  # FMA bucket-boundary flips only
+        assert diff.max() < 0.5
+        assert abs(float(bits_k) - float(bits_ref)) <= 2 * flipped.sum() + 1e-3
+
+    def test_bn_zero_gamma_guarded(self):
+        from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused_bn
+
+        params = make_params()
+        x = jax.random.normal(jax.random.key(1), (32, 8, 8, 16))
+        gamma = jnp.zeros((16,))
+        beta = jnp.zeros((16,))
+        y, _ = smaq_fused_bn(x, None, gamma, beta, params, interpret=True)
+        assert np.all(np.isfinite(np.asarray(y)))

@@ -15,7 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main(argv=None):
+    from smart_quantization_tpu.utils.cache import enable_compilation_cache
     from smart_quantization_tpu.utils.config import build_components, parse_args
+
+    enable_compilation_cache()
 
     args = parse_args(argv)
     print(f"run name: {args.name}")
