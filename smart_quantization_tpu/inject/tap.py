@@ -30,10 +30,38 @@ from smart_quantization_tpu.inject.policy import DEFAULT_POLICY, LayerKind, TapP
 
 # Opt-in host sink for backward-pass telemetry: fn(tag, orig_bits, new_bits).
 _BACKWARD_STATS_SINK: Callable | None = None
+_CALLBACKS_SUPPORTED: bool | None = None
+
+
+def host_callbacks_supported() -> bool:
+    """Some PJRT backends (e.g. relayed TPU plugins) reject host callbacks;
+    probe once so telemetry can degrade gracefully instead of crashing."""
+    global _CALLBACKS_SUPPORTED
+    if _CALLBACKS_SUPPORTED is None:
+        try:
+            r = jax.jit(
+                lambda x: jax.pure_callback(
+                    lambda v: v, jax.ShapeDtypeStruct((), jnp.float32), x
+                )
+            )(jnp.float32(1.0))
+            float(r)
+            _CALLBACKS_SUPPORTED = True
+        except Exception:
+            _CALLBACKS_SUPPORTED = False
+    return _CALLBACKS_SUPPORTED
 
 
 def set_backward_stats_sink(sink: Callable | None) -> None:
+    """Install the backward-telemetry sink; no-op (with a note) when the
+    backend cannot do host callbacks."""
     global _BACKWARD_STATS_SINK
+    if sink is not None and not host_callbacks_supported():
+        print(
+            "NOTE: backend lacks host callbacks; backward_autograd size "
+            "telemetry disabled (forward/optimizer tags unaffected)."
+        )
+        _BACKWARD_STATS_SINK = None
+        return
     _BACKWARD_STATS_SINK = sink
 
 

@@ -178,3 +178,40 @@ class TestSmaQGoldenModel:
         q = smaq_golden.compress_bn(x, mean, std, bn_scalar=2.0, bn_shift=0.25)
         y = smaq_golden.decompress_bn(q, mean, std, 2.0, 0.25)
         assert np.abs(y - x).mean() < 0.1 * std
+
+
+class TestBDICli:
+    def test_cli_compresses_file(self, tmp_path):
+        import os
+        import subprocess
+
+        exe = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "native", "build", "bdi",
+        )
+        if not os.path.exists(exe):
+            subprocess.run(
+                ["make", "-C", os.path.dirname(os.path.dirname(exe))],
+                check=True, capture_output=True,
+            )
+        data = tmp_path / "data.txt"
+        base = 3229747136
+        data.write_text("\n".join(str(base + 8 * i) for i in range(64)))
+        out = subprocess.run(
+            [exe, str(data), "0"], capture_output=True, text=True, check=True
+        )
+        assert "ratio" in out.stdout
+        # 64 sequential words compress below 1:1 (randomized base selection
+        # may pick a non-minimal base, so the ratio is config-dependent)
+        ratio = float(out.stdout.rsplit("ratio", 1)[1].strip(" )\n"))
+        assert ratio > 1.4
+
+
+class TestSmaQGoldenSampleStats:
+    def test_sixteen_sample_mode(self):
+        rng = np.random.RandomState(4)
+        x = rng.randn(4096).astype(np.float32) * 3 + 1
+        mean, std = smaq_golden.stats(x, mode=2)
+        # 16 strided samples: loose agreement with the population
+        assert abs(mean - 1.0) < 3.0
+        assert 0.5 < std < 9.0
