@@ -71,3 +71,47 @@ def compressed_allreduce_mean(
         return total.reshape(-1)[: x.size].reshape(x.shape).astype(x.dtype)
 
     return jax.tree.map(reduce_leaf, tree, keys)
+
+
+def compressed_psum_mean(
+    tree,
+    axis_name: str,
+    key: jax.Array | None = None,
+    *,
+    bits: int = 8,
+):
+    """All-reduce-mean with an int8 ``psum`` payload and a shared scale.
+
+    Headroom trick: every shard quantizes into ``[-qmax/n, qmax/n]`` against
+    a globally-agreed scale (one scalar psum), so the int8 sum across n
+    shards can never overflow — XLA ring-reduces 1-byte payloads (~2N bytes
+    per device vs ~8N for fp32) and the dequant is one multiply in the
+    epilogue.  Effective precision is ``bits - log2(n)`` per shard plus
+    unbiased stochastic rounding; prefer :func:`compressed_allreduce_mean`
+    (full per-shard precision, more traffic) for small meshes.
+    """
+    keys = tree_split(key, tree) if key is not None else jax.tree.map(
+        lambda _: None, tree
+    )
+    n_dev = jax.lax.axis_size(axis_name)
+    qmax = float(2 ** (bits - 1) - 1)
+    per_shard_max = qmax / n_dev
+
+    def reduce_leaf(x, k):
+        flat = x.reshape(-1).astype(jnp.float32)
+        local_max = jnp.max(jnp.abs(flat))
+        global_max = jax.lax.pmax(local_max, axis_name)
+        scale = jnp.where(global_max == 0.0, 1.0, global_max) / per_shard_max
+        t = flat / scale
+        if k is not None:
+            floored = jnp.floor(t)
+            probs = jax.random.uniform(k, t.shape, jnp.float32)
+            q = floored + ((t - floored) > probs).astype(jnp.float32)
+        else:
+            q = jnp.round(t)
+        q = jnp.clip(q, -per_shard_max - 1, per_shard_max).astype(jnp.int8)
+        total = jax.lax.psum(q, axis_name)  # int8 payload, no overflow
+        out = total.astype(jnp.float32) * (scale / n_dev)
+        return out.reshape(x.shape).astype(x.dtype)
+
+    return jax.tree.map(reduce_leaf, tree, keys)

@@ -235,3 +235,47 @@ class TestParallel:
         state, metrics = step(state, images, labels, jax.random.key(2))
         assert np.isfinite(float(metrics["train_loss"]))
         assert int(state.step) == 1
+
+    def test_compressed_psum_matches_pmean(self):
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_psum_mean,
+        )
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(dp=8)
+        x = jax.random.normal(jax.random.key(10), (8, 512)) * 2.0
+
+        def f(x):
+            local = x.reshape(512)
+            return compressed_psum_mean({"g": local}, "data", None, bits=8)["g"]
+
+        out = jax.jit(
+            shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                      check_rep=False)
+        )(x)
+        expected = np.asarray(jnp.mean(x, axis=0))
+        got = np.asarray(out)[:512]
+        # shared-scale int8/8-shards: ~4 effective bits + rounding; the
+        # error bound is global_max / (127/8)
+        bound = float(jnp.max(jnp.abs(x))) / (127 / 8)
+        assert np.abs(got - expected).max() <= bound * 1.01
+
+    def test_compressed_psum_zero_exact(self):
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_psum_mean,
+        )
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(dp=8)
+        x = jnp.zeros((8, 256))
+
+        def f(x):
+            return compressed_psum_mean({"g": x.reshape(256)}, "data")["g"]
+
+        out = jax.jit(
+            shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                      check_rep=False)
+        )(x)
+        np.testing.assert_array_equal(np.asarray(out)[:256], 0.0)
