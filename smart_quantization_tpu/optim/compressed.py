@@ -43,12 +43,30 @@ class OptimizerCompression:
     compress_gradients: bool = True
     compress_momentum: bool = True
     grad_scaling: float = 1.0
+    # keep a full-precision master copy of the weights and expose only the
+    # quantized view (the reference's acc_quant accumulators,
+    # optimizer.py:63-67,81-85 — plumbed but unused by its default wiring)
+    use_weight_accumulator: bool = False
 
     @property
     def active(self) -> bool:
         return self.compressor is not None and (
             self.compress_weights or self.compress_gradients or self.compress_momentum
         )
+
+
+class CompressedOptState(NamedTuple):
+    """Optimizer state + optional fp32 master weights."""
+
+    inner: Any
+    master: Any | None
+
+
+def init_opt_state(
+    spec: "OptimizerSpec", params: Any, compression: OptimizerCompression
+) -> CompressedOptState:
+    master = params if compression.use_weight_accumulator else None
+    return CompressedOptState(spec.tx.init(params), master)
 
 
 class OptimizerSpec(NamedTuple):
@@ -178,6 +196,13 @@ def compressed_optimizer_step(
     metrics: dict[str, jax.Array] = {}
     comp = compression.compressor
 
+    # unwrap the optional master-weight accumulator state
+    master = None
+    wrapped = isinstance(opt_state, CompressedOptState)
+    if wrapped:
+        master = opt_state.master
+        opt_state = opt_state.inner
+
     if compression.active and key is not None:
         k_grad, k_weight, k_mom = jax.random.split(key, 3)
     else:
@@ -191,8 +216,14 @@ def compressed_optimizer_step(
         grads, o, n = _quantize_tree(grads, k_grad, comp)
         metrics["optimizer_grad"] = jnp.stack([o, n])
 
-    updates, opt_state = spec.tx.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    # with the accumulator, optimizer math runs on the fp32 master
+    # (optimizer.py:81-85: "switch acc into weight before stepping")
+    step_params = master if master is not None else params
+    updates, opt_state = spec.tx.update(grads, opt_state, step_params)
+    new_params = optax.apply_updates(step_params, updates)
+    if master is not None:
+        master = new_params
+    params = new_params
 
     if compression.active and compression.compress_weights:
         params, o, n = _quantize_tree(
@@ -220,4 +251,6 @@ def compressed_optimizer_step(
         opt_state = _map_momentum_state(opt_state, spec.kind, quantize_momentum)
         metrics["optimizer_momentum"] = jnp.stack([totals["orig"], totals["new"]])
 
+    if wrapped:
+        opt_state = CompressedOptState(opt_state, master)
     return params, opt_state, metrics

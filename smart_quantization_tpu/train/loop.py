@@ -111,7 +111,12 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.spec.tx.init(params)
+        if self.optim_comp.use_weight_accumulator:
+            from smart_quantization_tpu.optim.compressed import init_opt_state
+
+            opt_state = init_opt_state(self.spec, params, self.optim_comp)
+        else:
+            opt_state = self.spec.tx.init(params)
         return TrainState(jnp.int32(0), params, batch_stats, opt_state)
 
     # ---------------------------------------------------------------- steps

@@ -134,6 +134,10 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--checkpoint_dir", type=str)
     parser.add_argument("--dp", type=int, help="data-parallel mesh size (devices)")
     parser.add_argument(
+        "--use_weight_accumulator", action="store_true",
+        help="keep fp32 master weights; expose the quantized view (acc_quant)",
+    )
+    parser.add_argument(
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
@@ -286,6 +290,7 @@ def build_components(
         compress_weights=args.compress_weights,
         compress_gradients=args.compress_gradients,
         compress_momentum=args.compress_momentum_vectors,
+        use_weight_accumulator=getattr(args, "use_weight_accumulator", False),
     ) if compressor is not None else OptimizerCompression()
 
     lr = args.learning_rate

@@ -201,3 +201,57 @@ class TestCompressedOptimizer:
             assert tag in m
             orig, new = np.asarray(m[tag])
             assert orig > new > 0
+
+
+class TestWeightAccumulator:
+    """The reference's acc_quant full-precision accumulators
+    (optimizer.py:63-67,81-85)."""
+
+    def test_master_stays_full_precision(self):
+        from smart_quantization_tpu.optim.compressed import (
+            CompressedOptState,
+            init_opt_state,
+        )
+
+        spec = build_optimizer("sgd", 0.1, momentum=0.0)
+        comp = OptimizerCompression(
+            compressor=build_compressor("fp8", stochastic=False),
+            compress_gradients=False,
+            compress_momentum=False,
+            use_weight_accumulator=True,
+        )
+        params = {"w": jnp.full((64,), 0.1)}
+        state = init_opt_state(spec, params, comp)
+        grads = {"w": jnp.full((64,), 0.001)}
+        # tiny updates vanish under fp8 weight quantization without a master
+        # accumulator; with it they accumulate exactly
+        p = params
+        for i in range(8):
+            p, state, _ = compressed_optimizer_step(
+                spec, p, grads, state, jax.random.key(i), comp
+            )
+        assert isinstance(state, CompressedOptState)
+        master = np.asarray(state.master["w"])
+        np.testing.assert_allclose(master, 0.1 - 0.1 * 0.001 * 8, rtol=1e-5)
+        # the exposed params are the quantized view of the master
+        q = np.asarray(p["w"])
+        assert not np.allclose(q, master)
+
+    def test_without_accumulator_updates_vanish(self):
+        spec = build_optimizer("sgd", 0.1, momentum=0.0)
+        comp = OptimizerCompression(
+            compressor=build_compressor("fp8", stochastic=False),
+            compress_gradients=False,
+            compress_momentum=False,
+        )
+        params = {"w": jnp.full((64,), 0.1)}
+        state = spec.tx.init(params)
+        grads = {"w": jnp.full((64,), 0.001)}
+        p = params
+        for i in range(4):
+            p, state, _ = compressed_optimizer_step(
+                spec, p, grads, state, jax.random.key(i), comp
+            )
+        # fp8 quantum at 0.1 is ~0.0039 >> lr*grad=1e-4: deterministic
+        # rounding snaps back every step
+        np.testing.assert_allclose(np.asarray(p["w"]), 0.09375, rtol=1e-6)
