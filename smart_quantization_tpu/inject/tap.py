@@ -12,9 +12,17 @@ reference (backward honors ``ctx.needs_input_grad`` implicitly — JAX only
 materializes cotangents that are needed).
 
 Forward-side size stats are returned as traced scalars (and models `sow` them
-into a metrics collection); backward-side stats are data-dependent values
-produced inside the vjp, surfaced through an opt-in host callback sink since
-they cannot flow to the loss output.
+into a metrics collection).  Backward-side stats are data-dependent values
+produced inside the vjp; they escape it WITHOUT host callbacks via the
+telemetry-token trick: each tapped module owns a zero-valued (2,) token in
+the ``telemetry`` variable collection that is fed into the tap as a second
+input, and the tap's custom-vjp returns ``[orig_bits, new_bits]`` as that
+token's cotangent — so ``jax.grad`` of the loss w.r.t. the telemetry
+collection IS the per-module backward size telemetry, as ordinary traced
+values that jit/shard_map handle like any other gradient (JAX sums cotangents
+across a module's tap sites automatically).  The legacy io_callback sink is
+kept as a fallback for callers that do not thread the collection; it is
+skipped on PJRT backends without host-callback support.
 """
 
 from __future__ import annotations
@@ -86,8 +94,14 @@ def compression_tap(
     compress_backward: bool = True,
     gamma: jax.Array | None = None,
     beta: jax.Array | None = None,
+    bwd_token: jax.Array | None = None,
 ) -> tuple[jax.Array, SizeStats]:
-    """Apply the tap; returns ``(y, forward SizeStats)``."""
+    """Apply the tap; returns ``(y, forward SizeStats)``.
+
+    When ``bwd_token`` (a zero-valued (2,) array) is given, the vjp emits the
+    backward size stats as the token's cotangent instead of (in addition to)
+    the host sink — differentiate the loss w.r.t. the token to collect them.
+    """
     if key is not None:
         key_fwd, key_bwd = jax.random.split(key)
     else:
@@ -95,26 +109,60 @@ def compression_tap(
 
     identity_stats = SizeStats.of(x.size, 32, 32)
 
-    @jax.custom_vjp
-    def tap(x):
+    def fwd_value(x):
         if compress_forward:
             y, s = compressor(x, key_fwd, gamma=gamma, beta=beta)
         else:
             y, s = x, identity_stats
         return y, (s.orig_bits, s.new_bits)
 
-    def tap_fwd(x):
-        return tap(x), None
-
-    def tap_bwd(_, cotangents):
-        g, _stat_ct = cotangents
+    def bwd_cotangent(g):
         if compress_backward:
             g, s = compressor(g, key_bwd)
-            _emit_backward_stats(s)
-        return (g,)
+        else:
+            s = None
+        return g, s
 
-    tap.defvjp(tap_fwd, tap_bwd)
-    y, (orig_bits, new_bits) = tap(x)
+    if bwd_token is None:
+
+        @jax.custom_vjp
+        def tap(x):
+            return fwd_value(x)
+
+        def tap_fwd(x):
+            return tap(x), None
+
+        def tap_bwd(_, cotangents):
+            g, _stat_ct = cotangents
+            g, s = bwd_cotangent(g)
+            if s is not None:
+                _emit_backward_stats(s)
+            return (g,)
+
+        tap.defvjp(tap_fwd, tap_bwd)
+        y, (orig_bits, new_bits) = tap(x)
+    else:
+
+        @jax.custom_vjp
+        def tap_tok(x, tok):
+            return fwd_value(x)
+
+        def tap_tok_fwd(x, tok):
+            return tap_tok(x, tok), None
+
+        def tap_tok_bwd(_, cotangents):
+            g, _stat_ct = cotangents
+            g, s = bwd_cotangent(g)
+            if s is not None:
+                tok_ct = jnp.stack(
+                    [s.orig_bits, s.new_bits]
+                ).astype(jnp.float32)
+            else:
+                tok_ct = jnp.zeros((2,), jnp.float32)
+            return (g, tok_ct)
+
+        tap_tok.defvjp(tap_tok_fwd, tap_tok_bwd)
+        y, (orig_bits, new_bits) = tap_tok(x, bwd_token)
     return y, SizeStats(orig_bits, new_bits)
 
 
@@ -172,6 +220,21 @@ def module_tap(
     key = module.make_rng("compress") if needs_key else None
     if not cfg.use_batch_norm:
         gamma = beta = None
+    # backward-telemetry token (see module docstring): one zero (2,) vector
+    # per tapped module in the 'telemetry' collection; cotangents from the
+    # module's tap sites sum into it.  Created at init; used at apply only
+    # when the caller passes the collection in (grads w.r.t. it are the
+    # backward sizes).  Callers that don't thread it keep the sink fallback.
+    token = None
+    if cfg.compress_backward:
+        if module.has_variable("telemetry", "bwd_token"):
+            token = module.get_variable("telemetry", "bwd_token")
+        elif module.is_initializing():
+            token = module.variable(
+                "telemetry",
+                "bwd_token",
+                lambda: jnp.zeros((2,), jnp.float32),
+            ).value
     y, stats = compression_tap(
         x,
         key,
@@ -180,6 +243,7 @@ def module_tap(
         compress_backward=cfg.compress_backward,
         gamma=gamma,
         beta=beta,
+        bwd_token=token,
     )
     module.sow(
         "compression_stats",

@@ -33,17 +33,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def fsdp_sharding(mesh: Mesh, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
-    """Shard the largest divisible axis over the fsdp mesh axis, else replicate."""
-    fsdp_size = mesh.shape["fsdp"]
+def fsdp_shard_axis(shape: tuple[int, ...], fsdp_size: int) -> int:
+    """Index of the largest fsdp-divisible axis of ``shape``, or -1 to
+    replicate.  Single source of truth for the leaf-sharding rule (used by
+    both the NamedSharding helper below and the shard_map FSDP path)."""
     if fsdp_size == 1:
-        return replicated(mesh)
+        return -1
     candidates = [
-        (dim, i) for i, dim in enumerate(leaf.shape) if dim % fsdp_size == 0
+        (dim, i) for i, dim in enumerate(shape) if dim and dim % fsdp_size == 0
     ]
     if not candidates:
-        return replicated(mesh)
-    _, axis = max(candidates)
-    spec = [None] * len(leaf.shape)
+        return -1
+    return max(candidates)[1]
+
+
+def fsdp_spec(shape: tuple[int, ...], fsdp_size: int) -> P:
+    axis = fsdp_shard_axis(shape, fsdp_size)
+    if axis < 0:
+        return P()
+    spec = [None] * len(shape)
     spec[axis] = "fsdp"
-    return NamedSharding(mesh, P(*spec))
+    return P(*spec)
+
+
+def fsdp_sharding(mesh: Mesh, leaf: jax.ShapeDtypeStruct) -> NamedSharding:
+    """Shard the largest divisible axis over the fsdp mesh axis, else replicate."""
+    return NamedSharding(mesh, fsdp_spec(leaf.shape, mesh.shape["fsdp"]))

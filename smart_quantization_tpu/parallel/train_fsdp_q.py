@@ -1,0 +1,265 @@
+"""Fused FSDP + quantized-collectives training (the shard_map FSDP path).
+
+Combines the two existing parallel paths (PARITY.md row 28's tracked gap):
+``train_dp.py`` quantizes gradient traffic but replicates parameters;
+``train_fsdp.py`` shards parameters/optimizer state but lets XLA move fp32.
+Here BOTH are explicit inside one shard_map over a ('data','fsdp') mesh:
+
+- parameters + optimizer state live sharded over 'fsdp'
+  (``mesh.fsdp_shard_axis`` picks the axis per leaf; indivisible leaves are
+  replicated);
+- the forward all-gathers parameter shards over 'fsdp' — optionally on int8
+  payloads (``param_gather_bits``), 4x less gather traffic;
+- the batch is sharded over ALL devices (data*fsdp act as the DP axis);
+- gradients are exchanged with an int8 shared-scale payload: ``psum`` over
+  'data' then ``psum_scatter`` over 'fsdp' (collectives.py), dequantized
+  once on the local shard — the reference's fp32 NCCL all-reduce
+  (SURVEY.md row 28 / section 3.4) upgraded to a quantized reduce-scatter
+  riding ICI;
+- the compressed optimizer step (optim/compressed.py) runs on the local
+  shard only: FSDP memory scaling for params, momentum AND master weights.
+
+Stochastic-rounding key discipline: forward/augment keys are folded with the
+global device index (independent data); gradient-payload keys likewise (the
+quantized values differ per device); the optimizer and parameter-gather keys
+are shared across the 'data' axis so replicated state stays bit-identical.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from smart_quantization_tpu.data import cifar as cifar_data
+from smart_quantization_tpu.optim.compressed import (
+    OptimizerCompression,
+    OptimizerSpec,
+    compressed_optimizer_step,
+    norm_param_mask,
+)
+from smart_quantization_tpu.parallel.collectives import (
+    compressed_all_gather_flat,
+    compressed_psum_mean_flat,
+    compressed_reduce_scatter_rows,
+)
+from smart_quantization_tpu.parallel.mesh import fsdp_shard_axis, fsdp_spec
+from smart_quantization_tpu.train.loop import cross_entropy
+from smart_quantization_tpu.train.state import TrainState
+
+
+def _shard_axes(tree, fsdp_size: int):
+    """Pytree of per-leaf shard-axis ints (-1 = replicated)."""
+    return jax.tree.map(lambda l: fsdp_shard_axis(l.shape, fsdp_size), tree)
+
+
+def _spec_tree(tree, fsdp_size: int):
+    return jax.tree.map(lambda l: fsdp_spec(l.shape, fsdp_size), tree)
+
+
+def state_spec_tree(mesh: Mesh, state: TrainState) -> TrainState:
+    """PartitionSpec tree for a TrainState on the dp x fsdp mesh.
+
+    Sharded axes refer to the LOCAL (already-sharded) shapes when called on
+    a placed state and to global shapes when called on an unplaced one — the
+    divisibility rule gives the same axis either way because shard sizes stay
+    divisible by fsdp_size only if the global size was.  Always call this on
+    the UNPLACED (global) state.
+    """
+    fsdp = mesh.shape["fsdp"]
+    return TrainState(
+        step=P(),
+        params=_spec_tree(state.params, fsdp),
+        batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+        opt_state=_spec_tree(state.opt_state, fsdp),
+    )
+
+
+def place_state(mesh: Mesh, state: TrainState) -> TrainState:
+    fsdp = mesh.shape["fsdp"]
+
+    def shard(x):
+        return jax.device_put(x, NamedSharding(mesh, fsdp_spec(x.shape, fsdp)))
+
+    def repl(x):
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return TrainState(
+        step=repl(state.step),
+        params=jax.tree.map(shard, state.params),
+        batch_stats=jax.tree.map(repl, state.batch_stats),
+        opt_state=jax.tree.map(shard, state.opt_state),
+    )
+
+
+def make_fsdp_q_train_step(
+    model,
+    spec: OptimizerSpec,
+    optim_comp: OptimizerCompression,
+    mesh: Mesh,
+    state: TrainState,
+    *,
+    grad_bits: int | None = 8,
+    param_gather_bits: int | None = None,
+):
+    """Build the jitted fused step for ``state``'s pytree structure.
+
+    ``state`` is only inspected for shapes (pass the unplaced, global-shape
+    state).  ``grad_bits=None`` falls back to fp32 psum + reduce-scatter;
+    ``param_gather_bits=None`` gathers parameters in their stored dtype.
+    """
+    fsdp_size = mesh.shape["fsdp"]
+    data_size = mesh.shape["data"]
+    n_total = fsdp_size * data_size
+    param_axes = _shard_axes(state.params, fsdp_size)
+    state_specs = state_spec_tree(mesh, state)
+
+    # Bucketed exchanges: every sharded leaf is packed into ONE flat buffer
+    # so a single collective moves the whole parameter set / gradient —
+    # large fused collectives ride ICI at full bandwidth and keep the XLA
+    # program small (vs ~2 collectives per leaf).
+
+    def gather_params(params, key):
+        leaves, treedef = jax.tree.flatten(params)
+        axes = jax.tree.leaves(param_axes)
+        out = list(leaves)
+        sharded = [
+            (i, l, a) for i, (l, a) in enumerate(zip(leaves, axes)) if a >= 0
+        ]
+        if sharded:
+            flat = jnp.concatenate([l.reshape(-1) for _, l, _ in sharded])
+            if param_gather_bits is None:
+                rows = jax.lax.all_gather(flat, "fsdp")  # (n, L)
+            else:
+                # fold with the fsdp index (each shard is distinct data), NOT
+                # the data index (replicas must produce identical payloads)
+                k = jax.random.fold_in(key, jax.lax.axis_index("fsdp"))
+                rows = compressed_all_gather_flat(
+                    flat, "fsdp", k, bits=param_gather_bits
+                )
+            off = 0
+            for i, l, a in sharded:
+                piece = rows[:, off : off + l.size]
+                piece = piece.reshape((fsdp_size,) + l.shape).astype(l.dtype)
+                full = jnp.moveaxis(piece, 0, a)
+                shape = list(l.shape)
+                shape[a] *= fsdp_size
+                out[i] = full.reshape(shape)
+                off += l.size
+        return jax.tree.unflatten(treedef, out)
+
+    def exchange_grads(grads, key):
+        leaves, treedef = jax.tree.flatten(grads)
+        axes = jax.tree.leaves(param_axes)
+        out = list(leaves)
+        gidx = jax.lax.axis_index("data") * fsdp_size + jax.lax.axis_index("fsdp")
+        if grad_bits is None:
+            k_sh = k_rep = None
+        else:
+            k_sh, k_rep = jax.random.split(jax.random.fold_in(key, gidx))
+        sharded = [
+            (i, l, a) for i, (l, a) in enumerate(zip(leaves, axes)) if a >= 0
+        ]
+        repl = [
+            (i, l) for i, (l, a) in enumerate(zip(leaves, axes)) if a < 0
+        ]
+        if sharded:
+            rows = []
+            for _, l, a in sharded:
+                # split dim a into (fsdp, local) blocks, blocks to the front
+                pre, la, post = l.shape[:a], l.shape[a] // fsdp_size, l.shape[a + 1 :]
+                blocks = l.reshape(pre + (fsdp_size, la) + post)
+                blocks = jnp.moveaxis(blocks, len(pre), 0)
+                rows.append(blocks.reshape(fsdp_size, -1))
+            buf = jnp.concatenate(rows, axis=1)  # (fsdp, total_local)
+            if grad_bits is None:
+                s = jax.lax.psum(buf, "data")
+                mine = (
+                    jax.lax.psum_scatter(
+                        s, "fsdp", scatter_dimension=0, tiled=True
+                    ).reshape(-1)
+                    / n_total
+                )
+            else:
+                mine = compressed_reduce_scatter_rows(
+                    buf, "fsdp", k_sh, bits=grad_bits, sum_axis_name="data"
+                )
+            off = 0
+            for i, l, a in sharded:
+                pre, la, post = l.shape[:a], l.shape[a] // fsdp_size, l.shape[a + 1 :]
+                sz = l.size // fsdp_size
+                out[i] = (
+                    mine[off : off + sz].reshape(pre + (la,) + post).astype(l.dtype)
+                )
+                off += sz
+        if repl:
+            flat = jnp.concatenate([l.reshape(-1) for _, l in repl])
+            if grad_bits is None:
+                red = jax.lax.pmean(flat, ("data", "fsdp"))
+            else:
+                red = compressed_psum_mean_flat(
+                    flat, ("data", "fsdp"), k_rep, bits=grad_bits
+                )
+            off = 0
+            for i, l in repl:
+                out[i] = red[off : off + l.size].reshape(l.shape).astype(l.dtype)
+                off += l.size
+        return jax.tree.unflatten(treedef, out)
+
+    def local_step(state: TrainState, images_u8, labels, key):
+        gidx = jax.lax.axis_index("data") * fsdp_size + jax.lax.axis_index("fsdp")
+        k_aug, k_fwd = jax.random.split(jax.random.fold_in(key, gidx))
+        # shared across devices: optimizer + gather keys (replicas identical)
+        k_opt, k_col, k_gather = jax.random.split(
+            jax.random.fold_in(key, 0x0FF1CE), 3
+        )
+        x = cifar_data.augment(images_u8, k_aug)
+        x = cifar_data.normalize(x)
+
+        full_params = gather_params(state.params, k_gather)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, mut = model.apply(
+                variables, x, train=True,
+                rngs={"compress": k_fwd}, mutable=["batch_stats"],
+            )
+            return cross_entropy(logits, labels), (logits, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(full_params)
+
+        grad_shards = exchange_grads(grads, k_col)
+        batch_stats = jax.lax.pmean(
+            mut.get("batch_stats", state.batch_stats), ("data", "fsdp")
+        )
+
+        exempt = norm_param_mask(state.params)
+        params, opt_state, _ = compressed_optimizer_step(
+            spec, state.params, grad_shards, state.opt_state, k_opt,
+            optim_comp, weight_exempt=exempt,
+        )
+        new_state = TrainState(state.step + 1, params, batch_stats, opt_state)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        metrics = {
+            "train_loss": jax.lax.pmean(loss, ("data", "fsdp")),
+            "train_accuracy": jax.lax.pmean(acc, ("data", "fsdp")),
+        }
+        return new_state, metrics
+
+    batch_spec = P(("data", "fsdp"))
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(state_specs, batch_spec, batch_spec, P()),
+        out_specs=(state_specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def shard_batch(mesh: Mesh, images, labels):
+    s = NamedSharding(mesh, P(("data", "fsdp")))
+    return jax.device_put(images, s), jax.device_put(labels, s)

@@ -84,6 +84,7 @@ class Trainer:
         logger: MetricLogger | None = None,
         mesh=None,
         grad_allreduce_bits: int | None = 8,
+        param_gather_bits: int | None = None,
     ):
         self.model = model
         self.data = data
@@ -97,10 +98,12 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self.nan_terminated = False
+        self._bwd_tel_active = False
         # data-parallel mesh (reference: Lightning DDP).  When set, the step
         # runs under shard_map with the quantized-gradient all-reduce.
         self.mesh = mesh
         self.grad_allreduce_bits = grad_allreduce_bits
+        self.param_gather_bits = param_gather_bits
 
     # ---------------------------------------------------------------- init
     def init_state(self, key: jax.Array) -> TrainState:
@@ -119,8 +122,36 @@ class Trainer:
             opt_state = self.spec.tx.init(params)
         return TrainState(jnp.int32(0), params, batch_stats, opt_state)
 
+    def _fsdp_active(self) -> bool:
+        return (
+            self.mesh is not None
+            and "fsdp" in self.mesh.axis_names
+            and self.mesh.shape["fsdp"] > 1
+        )
+
     # ---------------------------------------------------------------- steps
-    def build_train_step(self):
+    def build_train_step(self, state: TrainState | None = None):
+        if self._fsdp_active():
+            # fused FSDP: params/opt-state sharded over 'fsdp', int8
+            # quantized param all-gather + gradient reduce-scatter
+            from smart_quantization_tpu.parallel.train_fsdp_q import (
+                make_fsdp_q_train_step,
+            )
+
+            if state is None:
+                raise ValueError(
+                    "the FSDP path needs the (global-shape) TrainState to "
+                    "derive per-leaf shardings; pass it to build_train_step"
+                )
+            return make_fsdp_q_train_step(
+                self.model,
+                self.spec,
+                self.optim_comp,
+                self.mesh,
+                state,
+                grad_bits=self.grad_allreduce_bits,
+                param_gather_bits=self.param_gather_bits,
+            )
         if self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import (
                 make_dp_train_step,
@@ -134,13 +165,39 @@ class Trainer:
                 grad_allreduce_bits=self.grad_allreduce_bits,
             )
 
+        # backward (gradient-map) size telemetry via the telemetry-token
+        # trick (inject/tap.py): differentiate the loss w.r.t. the zero
+        # 'telemetry' collection — its gradient IS [orig_bits, new_bits] per
+        # module, with no host callbacks (works on every PJRT backend).
+        tel_tpl = None
+        if (
+            self.cfg.measure_compression_ratio
+            and self.tap_cfg is not None
+            and self.tap_cfg.active
+            and self.tap_cfg.compress_backward
+        ):
+            shapes = jax.eval_shape(
+                lambda rngs, x: self.model.init(rngs, x, train=True),
+                {"params": jax.random.key(0), "compress": jax.random.key(1)},
+                jnp.zeros((2, 32, 32, 3), jnp.float32),
+            )
+            tpl = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                shapes.get("telemetry", {}),
+            )
+            if jax.tree.leaves(tpl):
+                tel_tpl = tpl
+        self._bwd_tel_active = tel_tpl is not None
+
         def train_step(state: TrainState, images_u8, labels, key):
             k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
             x = cifar_data.augment(images_u8, k_aug)
             x = cifar_data.normalize(x)
 
-            def loss_fn(params):
+            def loss_fn(params, telemetry):
                 variables = {"params": params, "batch_stats": state.batch_stats}
+                if telemetry is not None:
+                    variables["telemetry"] = telemetry
                 mutable = ["batch_stats"]
                 if self.cfg.measure_compression_ratio:
                     mutable.append("compression_stats")
@@ -158,9 +215,15 @@ class Trainer:
                     loss = loss_q[0]
                 return loss, (logits, mut)
 
-            (loss, (logits, mut)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            if tel_tpl is not None:
+                (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, tel_tpl)
+            else:
+                (loss, (logits, mut)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, None)
+                tel_grads = None
 
             exempt = norm_param_mask(state.params)
             params, opt_state, opt_metrics = compressed_optimizer_step(
@@ -194,6 +257,11 @@ class Trainer:
                     metrics[f"_ratio/{tag}"] = tot
                 for tag, pair in opt_metrics.items():
                     metrics[f"_ratio/{tag}"] = pair
+                if tel_grads is not None:
+                    pairs = jax.tree.leaves(tel_grads)
+                    metrics["_ratio/backward_autograd"] = sum(
+                        pairs, jnp.zeros((2,), jnp.float32)
+                    )
             return new_state, metrics
 
         return jax.jit(train_step, donate_argnums=(0,))
@@ -217,16 +285,24 @@ class Trainer:
         if state is None:
             key, k_init = jax.random.split(key)
             state = self.init_state(k_init)
-        if self.mesh is not None:
+        if self._train_step is None:
+            # build BEFORE placing: the FSDP path derives shardings from the
+            # global-shape state
+            self._train_step = self.build_train_step(state)
+            self._eval_step = self.build_eval_step()
+        if self._fsdp_active():
+            from smart_quantization_tpu.parallel.train_fsdp_q import place_state
+
+            state = place_state(self.mesh, state)
+        elif self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import replicate_state
 
             state = replicate_state(self.mesh, state)
-        if self._train_step is None:
-            self._train_step = self.build_train_step()
-            self._eval_step = self.build_eval_step()
-        if self.cfg.measure_compression_ratio:
-            # backward-pass (gradient-map) sizes escape the vjp via the host
-            # sink (inject/tap.py)
+        if self.cfg.measure_compression_ratio and not getattr(
+            self, "_bwd_tel_active", False
+        ):
+            # fallback only: when the telemetry-token path is inactive,
+            # backward sizes escape the vjp via the host sink (inject/tap.py)
             from smart_quantization_tpu.inject.tap import set_backward_stats_sink
 
             set_backward_stats_sink(self.ratio_acc.add)
@@ -301,7 +377,11 @@ class Trainer:
     def _place_batch(self, images, labels):
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
-        if self.mesh is not None:
+        if self._fsdp_active():
+            from smart_quantization_tpu.parallel.train_fsdp_q import shard_batch
+
+            images, labels = shard_batch(self.mesh, images, labels)
+        elif self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import shard_batch
 
             images, labels = shard_batch(self.mesh, images, labels)

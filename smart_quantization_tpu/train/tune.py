@@ -66,11 +66,15 @@ def auto_lr_find(
     probe_spec = build_optimizer(trainer.spec.kind, sched)
     saved_spec, saved_step = trainer.spec, trainer._train_step
     trainer.spec = probe_spec
-    trainer._train_step = trainer.build_train_step()
     try:
         key = jax.random.key(trainer.cfg.seed + 999)
         key, k_init = jax.random.split(key)
         state = trainer.init_state(k_init)
+        trainer._train_step = trainer.build_train_step(state)
+        if trainer._fsdp_active():
+            from smart_quantization_tpu.parallel.train_fsdp_q import place_state
+
+            state = place_state(trainer.mesh, state)
         losses, lrs = [], []
         step = 0
         for epoch in range(1 + num_steps // max(trainer.data.steps_per_epoch, 1)):

@@ -134,6 +134,15 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--checkpoint_dir", type=str)
     parser.add_argument("--dp", type=int, help="data-parallel mesh size (devices)")
     parser.add_argument(
+        "--fsdp", type=int, default=1,
+        help="FSDP mesh size: shard params/optimizer state over this many "
+             "devices (fused with the quantized collectives)",
+    )
+    parser.add_argument(
+        "--param_gather_bits", type=int, default=None,
+        help="quantize FSDP parameter all-gather payloads to N bits",
+    )
+    parser.add_argument(
         "--use_weight_accumulator", action="store_true",
         help="keep fp32 master weights; expose the quantized view (acc_quant)",
     )

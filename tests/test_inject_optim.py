@@ -60,6 +60,47 @@ class TestTap:
         g = jax.grad(loss)(jnp.ones((8,)))
         np.testing.assert_allclose(np.asarray(g), 3.0)
 
+    def test_backward_stats_via_token_grad(self):
+        """The telemetry-token trick: grad of the loss w.r.t. the zero token
+        is [orig_bits, new_bits] of the backward (gradient-map) compression —
+        no host callbacks involved."""
+        c = build_compressor("fp16", stochastic=False)
+
+        def loss(x, tok):
+            y, _ = compression_tap(
+                x, None, c,
+                compress_forward=False, compress_backward=True, bwd_token=tok,
+            )
+            return jnp.sum(y * 2.0)
+
+        x = jnp.ones((64,))
+        tok = jnp.zeros((2,), jnp.float32)
+        g_x, g_tok = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, tok)
+        np.testing.assert_allclose(np.asarray(g_x), 2.0)
+        assert float(g_tok[0]) == 64 * 32  # orig bits
+        assert float(g_tok[1]) == 64 * 16  # fp16 new bits
+
+    def test_backward_stats_token_multiple_sites_sum(self):
+        c = build_compressor("bf16", stochastic=False)
+
+        def loss(x, tok):
+            y1, _ = compression_tap(
+                x, None, c, compress_forward=False, compress_backward=True,
+                bwd_token=tok,
+            )
+            y2, _ = compression_tap(
+                y1, None, c, compress_forward=False, compress_backward=True,
+                bwd_token=tok,
+            )
+            return jnp.sum(y2)
+
+        _, g_tok = jax.grad(loss, argnums=(0, 1))(
+            jnp.ones((32,)), jnp.zeros((2,), jnp.float32)
+        )
+        # two tap sites share one token -> cotangents sum
+        assert float(g_tok[0]) == 2 * 32 * 32
+        assert float(g_tok[1]) == 2 * 32 * 16
+
     def test_under_jit(self):
         c = build_compressor("smart", use_pallas=False)
 

@@ -113,6 +113,12 @@ class TestTrainerLoop:
         ratios = trainer.ratio_acc.summary()
         assert "compression_ratio" in ratios
         assert 4.0 < ratios["compression_ratio"] < 5.4
+        # backward (gradient-map) sizes now arrive via the telemetry-token
+        # gradient (inject/tap.py) — host-callback-free, so present on every
+        # backend
+        assert trainer._bwd_tel_active
+        assert ratios.get("orig_size_backward_autograd", 0) > 0
+        assert "compression_ratio_backward_autograd" in ratios
 
     def test_nan_termination(self):
         trainer = self._trainer()
@@ -256,10 +262,204 @@ class TestParallel:
         )(x)
         expected = np.asarray(jnp.mean(x, axis=0))
         got = np.asarray(out)[:512]
-        # shared-scale int8/8-shards: ~4 effective bits + rounding; the
-        # error bound is global_max / (127/8)
-        bound = float(jnp.max(jnp.abs(x))) / (127 / 8)
+        # shared-scale int8/8-shards on the exact integer grid
+        # [-floor(127/8), floor(127/8)]: error bound global_max / 15
+        bound = float(jnp.max(jnp.abs(x))) / (127 // 8)
         assert np.abs(got - expected).max() <= bound * 1.01
+
+    def test_compressed_reduce_scatter_matches_fp32(self):
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_reduce_scatter_mean,
+        )
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        # every device holds a full (16, 8) gradient; mean over all 8 devices,
+        # scattered over fsdp along dim 0 -> local (4, 8) shard; gather the
+        # shards back so layout reasoning stays trivial
+        g = jax.random.normal(jax.random.key(3), (2, 4, 16, 8)) * 2.0
+
+        def f(gl):
+            local = gl.reshape(16, 8)
+            part = compressed_reduce_scatter_mean(
+                local, "fsdp", None, bits=8, scatter_dimension=0,
+                sum_axis_name="data",
+            )
+            return jax.lax.all_gather(part, "fsdp", axis=0, tiled=True)
+
+        out = jax.jit(
+            shard_map(
+                f, mesh=mesh,
+                in_specs=P("data", "fsdp"),
+                out_specs=P("data", None),
+                check_rep=False,
+            )
+        )(g)
+        expected_full = np.asarray(jnp.mean(g.reshape(8, 16, 8), axis=0))
+        # out_specs P("data", None) concatenates the two data rows along
+        # dim 0 -> (32, 8); split back into per-data-row gathered means
+        full = np.asarray(out).reshape(2, 16, 8)
+        bound = float(jnp.max(jnp.abs(g))) / (127 // 8)
+        for d in range(2):
+            assert np.abs(full[d] - expected_full).max() <= bound * 1.01
+
+    def test_compressed_reduce_scatter_fp32_exact(self):
+        """bits=None path in the train step == plain psum+scatter; here check
+        the quantized op degrades to near-exact when values are tiny ints."""
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_reduce_scatter_mean,
+        )
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh2 = make_mesh(dp=4, fsdp=2)
+        g = jnp.zeros((4, 2, 8, 8))
+        out = jax.jit(
+            shard_map(
+                lambda g: compressed_reduce_scatter_mean(
+                    g.reshape(8, 8), "fsdp", None, scatter_dimension=0,
+                    sum_axis_name="data",
+                ),
+                mesh=mesh2, in_specs=P("data", "fsdp"),
+                out_specs=P("data", "fsdp"), check_rep=False,
+            )
+        )(g)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_compressed_all_gather_roundtrip(self):
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_all_gather,
+        )
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        mesh = make_mesh(dp=1, fsdp=8)
+        x = jax.random.normal(jax.random.key(7), (8, 16, 4))
+
+        def f(x):
+            local = x.reshape(16, 4)  # this device's shard (rows)
+            full = compressed_all_gather(local, "fsdp", None, gather_axis=0)
+            return full.reshape(1, 128, 4)
+
+        # deterministic payloads (key=None) -> gathered copy identical on
+        # every device, so the output is genuinely replicated
+        out = jax.jit(
+            shard_map(f, mesh=mesh, in_specs=P(None, "fsdp", None),
+                      out_specs=P(None, None, None), check_rep=False)
+        )(x.reshape(1, 8 * 16, 4))
+        full_src = np.asarray(x.reshape(128, 4))
+        got = np.asarray(out).reshape(128, 4)
+        # per-chunk (1024) scales; each shard is 64 elems -> one chunk each
+        err = np.abs(got - full_src)
+        per_chunk_bound = np.abs(full_src).reshape(8, 64).max(axis=1) / 127
+        assert (err.reshape(8, 64).max(axis=1) <= per_chunk_bound * 1.01).all()
+
+    def test_fsdp_quantized_train_step(self):
+        from smart_quantization_tpu.parallel.train_fsdp_q import (
+            make_fsdp_q_train_step,
+            place_state,
+            shard_batch,
+        )
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        state = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        step = make_fsdp_q_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh, state,
+            grad_bits=8, param_gather_bits=8,
+        )
+        state = place_state(mesh, state)
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 32, 32, 3), np.uint8)
+        )
+        labels = jnp.asarray(np.random.RandomState(1).randint(0, 10, 16))
+        images, labels = shard_batch(mesh, images, labels)
+        for i in range(2):
+            state, metrics = step(state, images, labels, jax.random.key(i))
+            assert np.isfinite(float(metrics["train_loss"]))
+        assert int(state.step) == 2
+        # params stay finite and sharded over fsdp
+        leaves = jax.tree.leaves(state.params)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+    def test_fsdp_q_fp32_path_matches_dp(self):
+        """grad_bits=None, param_gather_bits=None, fsdp=1: the fused path
+        reduces to plain data-parallel; one step must match make_dp_train_step
+        up to the (identical-key) stochastic compression noise."""
+        from smart_quantization_tpu.parallel.train_fsdp_q import (
+            make_fsdp_q_train_step,
+            place_state,
+            shard_batch as shard_batch_q,
+        )
+
+        mesh = make_mesh(dp=8, fsdp=1)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        state0 = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 32, 32, 3), np.uint8)
+        )
+        labels = jnp.asarray(np.random.RandomState(1).randint(0, 10, 16))
+
+        stepq = make_fsdp_q_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh, state0,
+            grad_bits=None, param_gather_bits=None,
+        )
+        sq = place_state(mesh, state0)
+        iq, lq = shard_batch_q(mesh, images, labels)
+        sq, mq = stepq(sq, iq, lq, jax.random.key(5))
+        assert np.isfinite(float(mq["train_loss"]))
+        assert int(sq.step) == 1
+
+    def test_trainer_fsdp_integration(self):
+        """Trainer routes to the fused FSDP path when the mesh has an fsdp
+        axis > 1 (build-before-place ordering, batch sharded over both axes)."""
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        # val batch = 32 // 4 = 8: must divide the 8-device mesh
+        data = CIFAR10Data(batch_size=32)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        cfg = TrainConfig(
+            epochs=1, log_every=2, limit_train_batches=2, limit_val_batches=1,
+        )
+        trainer = Trainer(
+            model, data, spec,
+            tap_cfg=tap,
+            optim_comp=OptimizerCompression(compressor=comp),
+            config=cfg,
+            logger=MetricLogger(None),
+            mesh=make_mesh(dp=2, fsdp=4),
+            grad_allreduce_bits=8,
+            param_gather_bits=8,
+        )
+        assert trainer._fsdp_active()
+        state = trainer.fit()
+        assert int(state.step) == 2
+        val = trainer.evaluate(state)
+        assert np.isfinite(val["val_loss"])
 
     def test_compressed_psum_zero_exact(self):
         from smart_quantization_tpu.parallel.collectives import (

@@ -64,12 +64,14 @@ def main(argv=None):
     )
     logger = MetricLogger(args.logdir, args.name)
     mesh = None
-    if args.dp and args.dp > 1:
+    fsdp = getattr(args, "fsdp", 1) or 1
+    if (args.dp and args.dp > 1) or fsdp > 1:
         from smart_quantization_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=args.dp)
-        print(f"data-parallel mesh over {args.dp} devices; "
-              f"gradient all-reduce bits: {args.grad_allreduce_bits or 'fp32'}")
+        mesh = make_mesh(dp=args.dp, fsdp=fsdp)
+        print(f"mesh: dp={mesh.shape['data']} x fsdp={mesh.shape['fsdp']}; "
+              f"grad bits: {args.grad_allreduce_bits or 'fp32'}; "
+              f"param-gather bits: {args.param_gather_bits or 'fp32'}")
     trainer = Trainer(
         model,
         data,
@@ -81,6 +83,7 @@ def main(argv=None):
         logger=logger,
         mesh=mesh,
         grad_allreduce_bits=args.grad_allreduce_bits,
+        param_gather_bits=args.param_gather_bits,
     )
     if args.auto_scale_batch_size:
         import jax.numpy as jnp
@@ -90,7 +93,7 @@ def main(argv=None):
 
         def try_batch(bs):
             st = trainer.init_state(jax.random.key(0))
-            step = trainer.build_train_step()
+            step = trainer.build_train_step(st)
             step(
                 st,
                 jnp.zeros((bs, 32, 32, 3), jnp.uint8),
