@@ -43,10 +43,19 @@ def make_dp_train_step(
     mesh: Mesh,
     *,
     grad_allreduce_bits: int | None = 8,
+    measure_ratio: bool = False,
+    tel_tpl=None,
 ):
     """Build a jitted DP train step: (state, images_u8, labels, key) ->
     (state, metrics).  ``grad_allreduce_bits=None`` uses plain fp32 pmean
-    (the reference-DDP-equivalent baseline)."""
+    (the reference-DDP-equivalent baseline).
+
+    ``measure_ratio`` collects the forward-side sown size stats and emits
+    ``_ratio/{tag}`` metrics (global bit totals, psum'd over 'data' — the
+    reference's sum-reduced sizes, compress/base.py:8-18, across the whole
+    DP group instead of per process).  ``tel_tpl`` (the zero 'telemetry'
+    collection from model.init) additionally collects backward
+    (gradient-map) sizes via the telemetry-token trick (inject/tap.py)."""
 
     def local_step(state: TrainState, images_u8, labels, key):
         dev = jax.lax.axis_index("data")
@@ -56,21 +65,32 @@ def make_dp_train_step(
         x = cifar_data.augment(images_u8, k_aug)
         x = cifar_data.normalize(x)
 
-        def loss_fn(params):
+        def loss_fn(params, telemetry):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            if telemetry is not None:
+                variables["telemetry"] = telemetry
+            mutable = ["batch_stats"]
+            if measure_ratio:
+                mutable.append("compression_stats")
             logits, mut = model.apply(
                 variables,
                 x,
                 train=True,
                 rngs={"compress": k_fwd},
-                mutable=["batch_stats"],
+                mutable=mutable,
             )
             loss = cross_entropy(logits, labels)
             return loss, (logits, mut)
 
-        (loss, (logits, mut)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        if tel_tpl is not None:
+            (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, tel_tpl)
+        else:
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, None)
+            tel_grads = None
 
         if grad_allreduce_bits is None:
             grads = jax.lax.pmean(grads, "data")
@@ -82,7 +102,7 @@ def make_dp_train_step(
         batch_stats = jax.lax.pmean(mut.get("batch_stats", state.batch_stats), "data")
 
         exempt = norm_param_mask(state.params)
-        params, opt_state, _ = compressed_optimizer_step(
+        params, opt_state, opt_metrics = compressed_optimizer_step(
             spec, state.params, grads, state.opt_state, k_opt, optim_comp,
             weight_exempt=exempt,
         )
@@ -92,6 +112,22 @@ def make_dp_train_step(
             "train_loss": jax.lax.pmean(loss, "data"),
             "train_accuracy": jax.lax.pmean(acc, "data"),
         }
+        if measure_ratio:
+            from smart_quantization_tpu.train.metrics import fold_sown_stats
+
+            for tag, tot in fold_sown_stats(
+                mut.get("compression_stats", {})
+            ).items():
+                metrics[f"_ratio/{tag}"] = jax.lax.psum(tot, "data")
+            # optimizer state is replicated: its sizes are identical on every
+            # device, so count them once (no psum)
+            for tag, pair in opt_metrics.items():
+                metrics[f"_ratio/{tag}"] = pair
+            if tel_grads is not None:
+                pairs = jax.tree.leaves(tel_grads)
+                metrics["_ratio/backward_autograd"] = jax.lax.psum(
+                    sum(pairs, jnp.zeros((2,), jnp.float32)), "data"
+                )
         return new_state, metrics
 
     sharded = shard_map(

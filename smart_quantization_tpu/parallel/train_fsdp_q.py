@@ -102,12 +102,17 @@ def make_fsdp_q_train_step(
     *,
     grad_bits: int | None = 8,
     param_gather_bits: int | None = None,
+    measure_ratio: bool = False,
+    tel_tpl=None,
 ):
     """Build the jitted fused step for ``state``'s pytree structure.
 
     ``state`` is only inspected for shapes (pass the unplaced, global-shape
     state).  ``grad_bits=None`` falls back to fp32 psum + reduce-scatter;
     ``param_gather_bits=None`` gathers parameters in their stored dtype.
+    ``measure_ratio`` / ``tel_tpl``: compression-size telemetry, as in
+    ``train_dp.make_dp_train_step`` (forward sown stats + backward
+    telemetry-token gradients, psum'd over the whole mesh).
     """
     fsdp_size = mesh.shape["fsdp"]
     data_size = mesh.shape["data"]
@@ -219,17 +224,28 @@ def make_fsdp_q_train_step(
 
         full_params = gather_params(state.params, k_gather)
 
-        def loss_fn(params):
+        def loss_fn(params, telemetry):
             variables = {"params": params, "batch_stats": state.batch_stats}
+            if telemetry is not None:
+                variables["telemetry"] = telemetry
+            mutable = ["batch_stats"]
+            if measure_ratio:
+                mutable.append("compression_stats")
             logits, mut = model.apply(
                 variables, x, train=True,
-                rngs={"compress": k_fwd}, mutable=["batch_stats"],
+                rngs={"compress": k_fwd}, mutable=mutable,
             )
             return cross_entropy(logits, labels), (logits, mut)
 
-        (loss, (logits, mut)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(full_params)
+        if tel_tpl is not None:
+            (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(full_params, tel_tpl)
+        else:
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(full_params, None)
+            tel_grads = None
 
         grad_shards = exchange_grads(grads, k_col)
         batch_stats = jax.lax.pmean(
@@ -237,7 +253,7 @@ def make_fsdp_q_train_step(
         )
 
         exempt = norm_param_mask(state.params)
-        params, opt_state, _ = compressed_optimizer_step(
+        params, opt_state, opt_metrics = compressed_optimizer_step(
             spec, state.params, grad_shards, state.opt_state, k_opt,
             optim_comp, weight_exempt=exempt,
         )
@@ -247,6 +263,22 @@ def make_fsdp_q_train_step(
             "train_loss": jax.lax.pmean(loss, ("data", "fsdp")),
             "train_accuracy": jax.lax.pmean(acc, ("data", "fsdp")),
         }
+        if measure_ratio:
+            from smart_quantization_tpu.train.metrics import fold_sown_stats
+
+            for tag, tot in fold_sown_stats(
+                mut.get("compression_stats", {})
+            ).items():
+                metrics[f"_ratio/{tag}"] = jax.lax.psum(tot, ("data", "fsdp"))
+            # optimizer state is sharded over 'fsdp' (each shard quantized
+            # once) and replicated over 'data': psum over 'fsdp' only
+            for tag, pair in opt_metrics.items():
+                metrics[f"_ratio/{tag}"] = jax.lax.psum(pair, "fsdp")
+            if tel_grads is not None:
+                pairs = jax.tree.leaves(tel_grads)
+                metrics["_ratio/backward_autograd"] = jax.lax.psum(
+                    sum(pairs, jnp.zeros((2,), jnp.float32)), ("data", "fsdp")
+                )
         return new_state, metrics
 
     batch_spec = P(("data", "fsdp"))

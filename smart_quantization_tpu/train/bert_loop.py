@@ -37,7 +37,8 @@ def bert_loss(logits, labels, is_regression: bool):
 
 class BertTrainer:
     def __init__(self, model, data, spec, *, optim_comp, loss_compressor=None,
-                 config, logger=None, task: str = "stsb"):
+                 config, logger=None, task: str = "stsb",
+                 mesh=None, grad_allreduce_bits: int | None = 8):
         self.model = model
         self.data = data
         self.spec = spec
@@ -51,6 +52,11 @@ class BertTrainer:
         self._train_step = None
         self._eval_step = None
         self.nan_terminated = False
+        # data-parallel mesh (the reference fine-tunes BERT under the same
+        # Lightning DDP as the image models, SURVEY.md row 28); gradients
+        # ride the quantized all-reduce unless grad_allreduce_bits is None
+        self.mesh = mesh
+        self.grad_allreduce_bits = grad_allreduce_bits
 
     def init_state(self, key: jax.Array, pretrained_params=None) -> TrainState:
         L = self.data.max_input_length
@@ -73,55 +79,159 @@ class BertTrainer:
             params = {**params, **pretrained_params}
         return TrainState(jnp.int32(0), params, {}, self.spec.tx.init(params))
 
+    def _telemetry_template(self):
+        """Zero 'telemetry' collection for the backward-size telemetry-token
+        trick (inject/tap.py) — None when ratio measurement is off or the
+        model has no tapped modules."""
+        if not self.cfg.measure_compression_ratio:
+            return None
+        L = self.data.max_input_length
+        ids = jnp.zeros((2, L), jnp.int32)
+        shapes = jax.eval_shape(
+            lambda rngs: self.model.init(
+                rngs, ids, jnp.ones((2, L), jnp.int32), ids, train=True
+            ),
+            {
+                "params": jax.random.key(0),
+                "compress": jax.random.key(1),
+                "dropout": jax.random.key(2),
+            },
+        )
+        tpl = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes.get("telemetry", {})
+        )
+        return tpl if jax.tree.leaves(tpl) else None
+
     def build_train_step(self):
+        tel_tpl = self._telemetry_template()
+
         def train_step(state: TrainState, batch, key):
             k_fwd, k_drop, k_opt, k_loss = jax.random.split(key, 4)
+            return self._step_body(
+                state, batch, k_fwd, k_drop, k_opt, k_loss, tel_tpl,
+            )
 
-            def loss_fn(params):
-                # mutable=False (not []) so flax returns bare logits
-                mutable = (
-                    ["compression_stats"]
-                    if self.cfg.measure_compression_ratio
-                    else False
-                )
-                out = self.model.apply(
-                    {"params": params},
-                    batch["input_ids"],
-                    batch["attention_mask"],
-                    batch["token_type_ids"],
-                    train=True,
-                    rngs={"compress": k_fwd, "dropout": k_drop},
-                    mutable=mutable,
-                )
-                logits, mut = out if mutable else (out, {})
-                loss = bert_loss(logits, batch["labels"], self.is_regression)
-                if self.cfg.compress_loss and self.loss_compressor is not None:
-                    loss_q, _ = self.loss_compressor(loss[None], k_loss)
-                    loss = loss_q[0]
-                return loss, (logits, mut)
+        if self.mesh is not None:
+            return self._build_dp_train_step(tel_tpl)
+        return jax.jit(train_step, donate_argnums=(0,))
 
+    def _build_dp_train_step(self, tel_tpl):
+        """shard_map DP step: batch sharded over 'data', params replicated,
+        gradients exchanged with the quantized all-reduce
+        (parallel/collectives.py) — the BERT equivalent of
+        parallel/train_dp.py."""
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from smart_quantization_tpu.parallel.collectives import (
+            compressed_allreduce_mean,
+        )
+
+        bits = self.grad_allreduce_bits
+
+        def local_step(state: TrainState, batch, key):
+            dev = jax.lax.axis_index("data")
+            k_fwd, k_drop = jax.random.split(jax.random.fold_in(key, dev))
+            # shared keys: replicated params must stay bit-identical
+            k_opt, k_col, k_loss = jax.random.split(
+                jax.random.fold_in(key, 0x0FF1CE), 3
+            )
+            new_state, metrics = self._step_body(
+                state, batch, k_fwd, k_drop, k_opt, k_loss, tel_tpl,
+                grad_reduce=lambda g: (
+                    jax.lax.pmean(g, "data")
+                    if bits is None
+                    else compressed_allreduce_mean(g, "data", k_col, bits=bits)
+                ),
+            )
+            out = {}
+            for k, v in metrics.items():
+                if k.startswith("_ratio/") and not k.startswith(
+                    "_ratio/optimizer"
+                ):
+                    # distinct data per device -> global bits are the sum;
+                    # optimizer sizes are replicated, count once
+                    out[k] = jax.lax.psum(v, "data")
+                elif k.startswith("_ratio/"):
+                    out[k] = v
+                else:
+                    out[k] = jax.lax.pmean(v, "data")
+            return new_state, out
+
+        batch_spec = {
+            k: P("data")
+            for k in ("input_ids", "attention_mask", "token_type_ids", "labels")
+        }
+        sharded = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    def _step_body(self, state, batch, k_fwd, k_drop, k_opt, k_loss, tel_tpl,
+                   grad_reduce=None):
+        def loss_fn(params, telemetry):
+            # mutable=False (not []) so flax returns bare logits
+            mutable = (
+                ["compression_stats"]
+                if self.cfg.measure_compression_ratio
+                else False
+            )
+            variables = {"params": params}
+            if telemetry is not None:
+                variables["telemetry"] = telemetry
+            out = self.model.apply(
+                variables,
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["token_type_ids"],
+                train=True,
+                rngs={"compress": k_fwd, "dropout": k_drop},
+                mutable=mutable,
+            )
+            logits, mut = out if mutable else (out, {})
+            loss = bert_loss(logits, batch["labels"], self.is_regression)
+            if self.cfg.compress_loss and self.loss_compressor is not None:
+                loss_q, _ = self.loss_compressor(loss[None], k_loss)
+                loss = loss_q[0]
+            return loss, (logits, mut)
+
+        if tel_tpl is not None:
+            (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, tel_tpl)
+        else:
             (loss, (logits, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params)
-            exempt = norm_param_mask(state.params)
-            params, opt_state, opt_metrics = compressed_optimizer_step(
-                self.spec, state.params, grads, state.opt_state, k_opt,
-                self.optim_comp, weight_exempt=exempt,
-            )
-            new_state = TrainState(state.step + 1, params, {}, opt_state)
-            metrics = {"train_loss": loss}
-            if self.cfg.measure_compression_ratio:
-                from smart_quantization_tpu.train.metrics import fold_sown_stats
+            )(state.params, None)
+            tel_grads = None
+        if grad_reduce is not None:
+            grads = grad_reduce(grads)
+        exempt = norm_param_mask(state.params)
+        params, opt_state, opt_metrics = compressed_optimizer_step(
+            self.spec, state.params, grads, state.opt_state, k_opt,
+            self.optim_comp, weight_exempt=exempt,
+        )
+        new_state = TrainState(state.step + 1, params, {}, opt_state)
+        metrics = {"train_loss": loss}
+        if self.cfg.measure_compression_ratio:
+            from smart_quantization_tpu.train.metrics import fold_sown_stats
 
-                for tag, tot in fold_sown_stats(
-                    mut.get("compression_stats", {})
-                ).items():
-                    metrics[f"_ratio/{tag}"] = tot
-                for tag, pair in opt_metrics.items():
-                    metrics[f"_ratio/{tag}"] = pair
-            return new_state, metrics
-
-        return jax.jit(train_step, donate_argnums=(0,))
+            for tag, tot in fold_sown_stats(
+                mut.get("compression_stats", {})
+            ).items():
+                metrics[f"_ratio/{tag}"] = tot
+            for tag, pair in opt_metrics.items():
+                metrics[f"_ratio/{tag}"] = pair
+            if tel_grads is not None:
+                pairs = jax.tree.leaves(tel_grads)
+                metrics["_ratio/backward_autograd"] = sum(
+                    pairs, jnp.zeros((2,), jnp.float32)
+                )
+        return new_state, metrics
 
     def build_eval_step(self):
         def eval_step(state: TrainState, batch):
@@ -150,6 +260,10 @@ class BertTrainer:
         if self._train_step is None:
             self._train_step = self.build_train_step()
             self._eval_step = self.build_eval_step()
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
 
         step = int(state.step)
         for epoch in range(self.cfg.epochs):
@@ -162,6 +276,14 @@ class BertTrainer:
                     break
                 key, k_step = jax.random.split(key)
                 device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    bsh = NamedSharding(self.mesh, P("data"))
+                    device_batch = {
+                        k: jax.device_put(v, bsh)
+                        for k, v in device_batch.items()
+                    }
                 state, metrics = self._train_step(state, device_batch, k_step)
                 step += 1
                 if step % self.cfg.log_every == 0:
@@ -261,11 +383,20 @@ def run_bert(args):
         seed=args.seed,
     )
     logger = MetricLogger(args.logdir, args.name)
+    mesh = None
+    if getattr(args, "dp", None) and args.dp > 1:
+        from smart_quantization_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp)
+        print(f"mesh: dp={mesh.shape['data']}; "
+              f"grad bits: {args.grad_allreduce_bits or 'fp32'}")
     trainer = BertTrainer(
         model, data, comps["optimizer_spec"],
         optim_comp=comps["optim_comp"],
         loss_compressor=comps["compressor"],
         config=tcfg, logger=logger, task=task,
+        mesh=mesh,
+        grad_allreduce_bits=getattr(args, "grad_allreduce_bits", 8),
     )
     import jax as _jax
 

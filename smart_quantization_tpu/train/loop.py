@@ -130,7 +130,30 @@ class Trainer:
         )
 
     # ---------------------------------------------------------------- steps
+    def _telemetry_template(self):
+        """Zero 'telemetry' collection for the backward-size telemetry-token
+        trick (inject/tap.py) — None when inactive."""
+        if not (
+            self.cfg.measure_compression_ratio
+            and self.tap_cfg is not None
+            and self.tap_cfg.active
+            and self.tap_cfg.compress_backward
+        ):
+            return None
+        shapes = jax.eval_shape(
+            lambda rngs, x: self.model.init(rngs, x, train=True),
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            jnp.zeros((2, 32, 32, 3), jnp.float32),
+        )
+        tpl = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            shapes.get("telemetry", {}),
+        )
+        return tpl if jax.tree.leaves(tpl) else None
+
     def build_train_step(self, state: TrainState | None = None):
+        tel_tpl = self._telemetry_template()
+        self._bwd_tel_active = tel_tpl is not None
         if self._fsdp_active():
             # fused FSDP: params/opt-state sharded over 'fsdp', int8
             # quantized param all-gather + gradient reduce-scatter
@@ -151,6 +174,8 @@ class Trainer:
                 state,
                 grad_bits=self.grad_allreduce_bits,
                 param_gather_bits=self.param_gather_bits,
+                measure_ratio=self.cfg.measure_compression_ratio,
+                tel_tpl=tel_tpl,
             )
         if self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import (
@@ -163,32 +188,14 @@ class Trainer:
                 self.optim_comp,
                 self.mesh,
                 grad_allreduce_bits=self.grad_allreduce_bits,
+                measure_ratio=self.cfg.measure_compression_ratio,
+                tel_tpl=tel_tpl,
             )
 
-        # backward (gradient-map) size telemetry via the telemetry-token
-        # trick (inject/tap.py): differentiate the loss w.r.t. the zero
-        # 'telemetry' collection — its gradient IS [orig_bits, new_bits] per
-        # module, with no host callbacks (works on every PJRT backend).
-        tel_tpl = None
-        if (
-            self.cfg.measure_compression_ratio
-            and self.tap_cfg is not None
-            and self.tap_cfg.active
-            and self.tap_cfg.compress_backward
-        ):
-            shapes = jax.eval_shape(
-                lambda rngs, x: self.model.init(rngs, x, train=True),
-                {"params": jax.random.key(0), "compress": jax.random.key(1)},
-                jnp.zeros((2, 32, 32, 3), jnp.float32),
-            )
-            tpl = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype),
-                shapes.get("telemetry", {}),
-            )
-            if jax.tree.leaves(tpl):
-                tel_tpl = tpl
-        self._bwd_tel_active = tel_tpl is not None
-
+        # single chip: backward (gradient-map) size telemetry via the
+        # telemetry-token trick (inject/tap.py): differentiate the loss
+        # w.r.t. the zero 'telemetry' collection — its gradient IS
+        # [orig_bits, new_bits] per module, with no host callbacks.
         def train_step(state: TrainState, images_u8, labels, key):
             k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
             x = cifar_data.augment(images_u8, k_aug)

@@ -198,6 +198,86 @@ class TestParallel:
         assert np.isfinite(float(metrics["train_loss"]))
         assert int(state.step) == 1
 
+    def test_dp_train_step_ratio_telemetry(self):
+        """Forward sown stats + backward telemetry-token gradients flow out
+        of the shard_map DP step as _ratio/ metrics (PARITY.md closed gap)."""
+        mesh = make_mesh(dp=8)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.1, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        tel_tpl = jax.tree.map(jnp.zeros_like, variables.get("telemetry", {}))
+        assert jax.tree.leaves(tel_tpl), "taps must create telemetry tokens"
+        state = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        state = replicate_state(mesh, state)
+        step = make_dp_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh,
+            measure_ratio=True, tel_tpl=tel_tpl,
+        )
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 32, 32, 3), np.uint8)
+        )
+        labels = jnp.asarray(np.random.RandomState(1).randint(0, 10, 16))
+        images, labels = shard_batch(mesh, images, labels)
+        state, metrics = step(state, images, labels, jax.random.key(2))
+        fwd = np.asarray(metrics["_ratio/forward_autograd"])
+        bwd = np.asarray(metrics["_ratio/backward_autograd"])
+        assert fwd[0] > 0 and bwd[0] > 0
+        # SmaQ 6/8: global ratio in the reference's observed band
+        assert 4.0 < fwd[0] / fwd[1] < 5.4
+        assert 4.0 < bwd[0] / bwd[1] < 5.4
+        # optimizer tags present and counted once (replicated state)
+        ow = np.asarray(metrics["_ratio/optimizer_weight"])
+        n_params = sum(l.size for l in jax.tree.leaves(state.params))
+        assert ow[0] <= n_params * 32 + 1
+
+    def test_fsdp_q_ratio_telemetry(self):
+        from smart_quantization_tpu.parallel.train_fsdp_q import (
+            make_fsdp_q_train_step,
+            place_state,
+            shard_batch as shard_batch_q,
+        )
+
+        mesh = make_mesh(dp=2, fsdp=4)
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+        variables = model.init(
+            {"params": jax.random.key(0), "compress": jax.random.key(1)},
+            x, train=True,
+        )
+        tel_tpl = jax.tree.map(jnp.zeros_like, variables.get("telemetry", {}))
+        state = TrainState(
+            jnp.int32(0), variables["params"],
+            variables.get("batch_stats", {}), spec.tx.init(variables["params"]),
+        )
+        step = make_fsdp_q_train_step(
+            model, spec, OptimizerCompression(compressor=comp), mesh, state,
+            grad_bits=8, param_gather_bits=8,
+            measure_ratio=True, tel_tpl=tel_tpl,
+        )
+        state = place_state(mesh, state)
+        images = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (16, 32, 32, 3), np.uint8)
+        )
+        labels = jnp.asarray(np.random.RandomState(1).randint(0, 10, 16))
+        images, labels = shard_batch_q(mesh, images, labels)
+        state, metrics = step(state, images, labels, jax.random.key(2))
+        fwd = np.asarray(metrics["_ratio/forward_autograd"])
+        bwd = np.asarray(metrics["_ratio/backward_autograd"])
+        assert fwd[0] > 0 and bwd[0] > 0
+        assert 4.0 < fwd[0] / fwd[1] < 5.4
+
     def test_fsdp_sharding_helper(self):
         from smart_quantization_tpu.parallel.mesh import fsdp_sharding
 
@@ -458,6 +538,42 @@ class TestParallel:
         assert trainer._fsdp_active()
         state = trainer.fit()
         assert int(state.step) == 2
+        val = trainer.evaluate(state)
+        assert np.isfinite(val["val_loss"])
+
+    def test_bert_dp_trainer(self):
+        """BERT fine-tuning under the DP mesh with quantized all-reduce
+        (the reference runs BertModule under the same DDP as the image
+        models, SURVEY.md row 28)."""
+        from smart_quantization_tpu.data.glue import GLUEData
+        from smart_quantization_tpu.models.bert import (
+            BertConfig,
+            BertForSequenceClassification,
+        )
+        from smart_quantization_tpu.train.bert_loop import BertTrainer
+        from smart_quantization_tpu.train.loop import TrainConfig
+
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        data = GLUEData(task="stsb", batch_size=16, max_input_length=32)
+        model = BertForSequenceClassification(
+            BertConfig.tiny(), num_labels=data.num_labels, tap=tap
+        )
+        cfg = TrainConfig(
+            epochs=1, log_every=1, limit_train_batches=2, limit_val_batches=1,
+            measure_compression_ratio=True,
+        )
+        trainer = BertTrainer(
+            model, data, build_optimizer("adamw", 1e-4),
+            optim_comp=OptimizerCompression(compressor=comp),
+            config=cfg, logger=MetricLogger(None), task="stsb",
+            mesh=make_mesh(dp=8), grad_allreduce_bits=8,
+        )
+        state = trainer.fit()
+        assert int(state.step) == 2
+        ratios = trainer.ratio_acc.summary()
+        assert "compression_ratio" in ratios
+        assert ratios.get("orig_size_backward_autograd", 0) > 0
         val = trainer.evaluate(state)
         assert np.isfinite(val["val_loss"])
 
