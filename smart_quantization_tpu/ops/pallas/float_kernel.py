@@ -38,14 +38,36 @@ def _kernel(
     stochastic: bool,
     check_inf: bool,
 ):
-    """All vector shifts use COMPILE-TIME-constant amounts — per-element
+    pid = pl.program_id(0)
+    xf = x_ref[:]
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0, 0] + pid)
+        rand = pltpu.bitcast(pltpu.prng_random_bits(xf.shape), jnp.uint32)
+    else:
+        rand = None
+    y_ref[:] = fp_round_block(
+        xf, rand, fmt=fmt, stochastic=stochastic, check_inf=check_inf
+    )
+
+
+def fp_round_block(
+    xf,
+    rand,
+    *,
+    fmt: FloatFormat,
+    stochastic: bool,
+    check_inf: bool,
+):
+    """Round one VMEM block of fp32 values onto ``fmt``'s grid (the kernel
+    body, reusable by other fused kernels, e.g. S2FP8).  ``rand`` is a
+    uint32 random-bits array of ``xf.shape`` (only read when stochastic).
+
+    All vector shifts use COMPILE-TIME-constant amounts — per-element
     variable shift amounts stall the mosaic compiler.  The normal range uses
     the integer mask trick with the constant drop count; the target-subnormal
     range (|x| < 2^emin) is handled in float arithmetic on a fixed grid,
     which is exact for e<=5-bit-exponent formats (their subnormal range lies
     inside normal fp32) and flushes like the hardware does for e8 formats."""
-    pid = pl.program_id(0)
-    xf = x_ref[:]
     bits = pltpu.bitcast(xf, jnp.uint32)
     sign = bits & jnp.uint32(0x80000000)
     mag = bits & jnp.uint32(0x7FFFFFFF)
@@ -54,8 +76,6 @@ def _kernel(
     mask = jnp.uint32((1 << drop) - 1) if drop > 0 else jnp.uint32(0)
 
     if stochastic:
-        pltpu.prng_seed(seed_ref[0, 0] + pid)
-        rand = pltpu.bitcast(pltpu.prng_random_bits(xf.shape), jnp.uint32)
         r = rand & mask
         probs = pltpu.bitcast(rand >> 8, jnp.int32).astype(jnp.float32) * jnp.float32(
             _INV_2_24
@@ -96,7 +116,7 @@ def _kernel(
     out_bits = out_bits | sign
     nonfinite = (mag & jnp.uint32(0x7F800000)) == jnp.uint32(0x7F800000)
     out_bits = jnp.where(nonfinite, bits, out_bits)
-    y_ref[:] = pltpu.bitcast(out_bits, jnp.float32)
+    return pltpu.bitcast(out_bits, jnp.float32)
 
 
 def _round_up(v: int, m: int) -> int:
