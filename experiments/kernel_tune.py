@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Block-size / tensor-size sweep for the fused SmaQ kernel.
+
+Measures achieved GB/s (slope timing, min-of-reps — see bench.py) for a few
+(_MAX_BLOCK_ROWS, n_elements) combinations plus the elementwise ceiling, to
+pick the kernel's default block shape.  Run on the TPU:
+
+    python experiments/kernel_tune.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from smart_quantization_tpu.ops.pallas import smaq_kernel as K
+from smart_quantization_tpu.ops.smaq import SmaQParams
+from smart_quantization_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+PARAMS = SmaQParams(
+    num_bits_main=6, num_bits_outlier=8,
+    stochastic_rounding=True, use_sample_stats=True,
+)
+
+
+def slope_ms(mk, x, lo=1, hi=17, reps=7, outer=3):
+    g_lo, g_hi = mk(lo), mk(hi)
+    float(g_lo(x, jnp.int32(1)))
+    float(g_hi(x, jnp.int32(1)))
+
+    def min_time(g):
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(g(x, jnp.int32(i * 1000)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    best = float("inf")
+    for _ in range(outer):
+        d = (min_time(g_hi) - min_time(g_lo)) / (hi - lo)
+        if d > 0:
+            best = min(best, d)
+    return best
+
+
+def bench_kernel(n, block_rows):
+    K._MAX_BLOCK_ROWS = block_rows
+    x = jax.random.normal(jax.random.key(0), (n,), jnp.float32)
+
+    def mk(k_iters):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y, _ = K.smaq_fused(y, None, PARAMS, seed=base_seed + i)
+            return jnp.sum(y[:8])
+
+        return g
+
+    dt = slope_ms(mk, x)
+    return n * 8 / dt / 1e9
+
+
+def bench_ceiling(n):
+    x = jax.random.normal(jax.random.key(0), (n,), jnp.float32)
+
+    def mk(k_iters):
+        @jax.jit
+        def g(x, _):
+            y = x
+            for _ in range(k_iters):
+                y = jax.lax.optimization_barrier(
+                    y * jnp.float32(1.0000001) + jnp.float32(1e-9)
+                )
+            return jnp.sum(y[:8])
+
+        return g
+
+    dt = slope_ms(mk, x)
+    return n * 8 / dt / 1e9
+
+
+def main():
+    out = {}
+    for n in (1 << 26,):
+        out[f"ceiling_n{n}"] = round(bench_ceiling(n), 1)
+        for br in (512, 1024):
+            try:
+                out[f"kernel_n{n}_rows{br}"] = round(bench_kernel(n, br), 1)
+            except Exception as e:  # e.g. VMEM OOM at 4 MB blocks
+                out[f"kernel_n{n}_rows{br}"] = f"failed: {type(e).__name__}"
+            print(json.dumps(out), flush=True)
+        out[f"ceiling2_n{n}"] = round(bench_ceiling(n), 1)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,7 +135,11 @@ class S2FP8(CompressorBase):
     name = "s2fp8"
 
     def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
-        y = s2fp8_quantize_dequantize(
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import (
+            s2fp8_fused_or_reference,
+        )
+
+        y = s2fp8_fused_or_reference(
             x, key, stochastic=self.stochastic, check_inf=self.check_inf
         )
         # 64-bit per-tensor overhead: the two squeeze stats (s2fp8.py:29).

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -57,20 +58,23 @@ _dense_init = nn.initializers.normal(stddev=0.02)
 class TappedDense(nn.Module):
     features: int
     tap: TapConfig | None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.features, kernel_init=_dense_init, name="dense")(x)
+        y = nn.Dense(self.features, dtype=self.dtype, kernel_init=_dense_init,
+                     name="dense")(x)
         return module_tap(self, y, LayerKind.LINEAR, self.tap)
 
 
 class TappedLayerNorm(nn.Module):
     eps: float
     tap: TapConfig | None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm")(x)
         return module_tap(self, y, LayerKind.NORM, self.tap)
 
 
@@ -78,14 +82,15 @@ class BertSelfAttention(nn.Module):
     cfg: BertConfig
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attention_mask):
         cfg = self.cfg
         head_dim = cfg.hidden_size // cfg.num_heads
-        q = TappedDense(cfg.hidden_size, self.tap, name="query")(x)
-        k = TappedDense(cfg.hidden_size, self.tap, name="key")(x)
-        v = TappedDense(cfg.hidden_size, self.tap, name="value")(x)
+        q = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="query")(x)
+        k = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="key")(x)
+        v = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="value")(x)
 
         def split_heads(t):
             return t.reshape(*t.shape[:2], cfg.num_heads, head_dim)
@@ -93,36 +98,44 @@ class BertSelfAttention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
         bias = (1.0 - attention_mask[:, None, None, :]) * -1e9
-        probs = jax.nn.softmax(scores + bias, axis=-1)
+        # softmax in fp32 regardless of compute dtype (numerical stability)
+        probs = jax.nn.softmax(
+            scores.astype(jnp.float32) + bias, axis=-1
+        ).astype(self.dtype)
         probs = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(probs)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         ctx = ctx.reshape(*x.shape[:2], cfg.hidden_size)
         ctx = module_tap(self, ctx, LayerKind.ATTENTION, self.tap)
 
-        out = TappedDense(cfg.hidden_size, self.tap, name="output")(ctx)
+        out = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="output")(ctx)
         out = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(out)
-        return TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="output_norm")(
-            out + x
-        )
+        return TappedLayerNorm(
+            cfg.layer_norm_eps, self.tap, self.dtype, name="output_norm"
+        )(out + x)
 
 
 class BertLayer(nn.Module):
     cfg: BertConfig
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, attention_mask):
         cfg = self.cfg
-        x = BertSelfAttention(cfg, self.tap, self.train, name="attention")(
-            x, attention_mask
-        )
-        h = TappedDense(cfg.intermediate_size, self.tap, name="intermediate")(x)
+        x = BertSelfAttention(
+            cfg, self.tap, self.train, self.dtype, name="attention"
+        )(x, attention_mask)
+        h = TappedDense(
+            cfg.intermediate_size, self.tap, self.dtype, name="intermediate"
+        )(x)
         h = nn.gelu(h, approximate=False)
         h = module_tap(self, h, LayerKind.ACTIVATION, self.tap)
-        h = TappedDense(cfg.hidden_size, self.tap, name="ffn_output")(h)
+        h = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="ffn_output")(h)
         h = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(h)
-        y = TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="ffn_norm")(h + x)
+        y = TappedLayerNorm(
+            cfg.layer_norm_eps, self.tap, self.dtype, name="ffn_norm"
+        )(h + x)
         return module_tap(self, y, LayerKind.BLOCK, self.tap)
 
 
@@ -131,6 +144,7 @@ class BertForSequenceClassification(nn.Module):
     num_labels: int = 2
     tap: TapConfig | None = None
     freeze_encoder: bool = False
+    dtype: Any = jnp.float32  # MXU compute dtype (see models/resnet.py)
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
@@ -153,25 +167,32 @@ class BertForSequenceClassification(nn.Module):
                 token_type_ids
             )
         )
-        x = TappedLayerNorm(cfg.layer_norm_eps, self.tap, name="embeddings_norm")(emb)
+        emb = emb.astype(self.dtype)
+        x = TappedLayerNorm(
+            cfg.layer_norm_eps, self.tap, self.dtype, name="embeddings_norm"
+        )(emb)
         x = nn.Dropout(cfg.dropout_rate, deterministic=not train)(x)
         x = module_tap(self, x, LayerKind.EMBED, self.tap)
 
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, self.tap, train, name=f"layer_{i}")(x, attention_mask)
+            x = BertLayer(
+                cfg, self.tap, train, self.dtype, name=f"layer_{i}"
+            )(x, attention_mask)
 
         if self.freeze_encoder:
             # reference: requires_grad=False on bert.* (bert.py:36-38)
             x = jax.lax.stop_gradient(x)
 
         pooled = nn.tanh(
-            nn.Dense(cfg.hidden_size, kernel_init=_dense_init, name="pooler")(x[:, 0])
+            nn.Dense(cfg.hidden_size, dtype=self.dtype, kernel_init=_dense_init,
+                     name="pooler")(x[:, 0])
         )
         pooled = module_tap(self, pooled, LayerKind.ACTIVATION, self.tap)
         pooled = nn.Dropout(cfg.dropout_rate, deterministic=not train)(pooled)
-        logits = nn.Dense(self.num_labels, kernel_init=_dense_init,
-                          name="classifier")(pooled)
-        return module_tap(self, logits, LayerKind.LINEAR, self.tap)
+        logits = nn.Dense(self.num_labels, dtype=self.dtype,
+                          kernel_init=_dense_init, name="classifier")(pooled)
+        logits = module_tap(self, logits, LayerKind.LINEAR, self.tap)
+        return logits.astype(jnp.float32)
 
 
 # --------------------------------------------------------------- weight import

@@ -10,7 +10,7 @@ Compression taps at every conv/BN/activation/pool/linear/block output.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -27,6 +27,7 @@ class BasicConv2d(nn.Module):
     padding: str | Sequence = "VALID"
     tap: TapConfig | None = None
     train: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -36,11 +37,12 @@ class BasicConv2d(nn.Module):
             (self.strides, self.strides),
             padding=self.padding,
             use_bias=False,
+            dtype=self.dtype,
             kernel_init=_conv_init,
             name="conv",
         )(x)
         x = module_tap(self, x, LayerKind.CONV, self.tap)
-        x = TappedBatchNorm(self.tap, not self.train, name="bn")(x)
+        x = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
         return module_tap(self, x, LayerKind.ACTIVATION, self.tap)
 
@@ -57,11 +59,13 @@ class InceptionA(nn.Module):
     pool_features: int
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv = lambda f, k, p="VALID", name=None: BasicConv2d(
-            f, k, padding=p, tap=self.tap, train=self.train, name=name
+            f, k, padding=p, tap=self.tap, train=self.train,
+            dtype=self.dtype, name=name
         )
         b1 = conv(64, (1, 1), name="branch1x1")(x)
         b5 = conv(48, (1, 1), name="branch5x5_1")(x)
@@ -79,11 +83,13 @@ class InceptionA(nn.Module):
 class InceptionB(nn.Module):
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv = lambda f, k, s=1, p="VALID", name=None: BasicConv2d(
-            f, k, s, p, tap=self.tap, train=self.train, name=name
+            f, k, s, p, tap=self.tap, train=self.train,
+            dtype=self.dtype, name=name
         )
         b3 = conv(384, (3, 3), 2, name="branch3x3")(x)
         bd = conv(64, (1, 1), name="branch3x3dbl_1")(x)
@@ -99,11 +105,13 @@ class InceptionC(nn.Module):
     channels_7x7: int
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv = lambda f, k, p="VALID", name=None: BasicConv2d(
-            f, k, padding=p, tap=self.tap, train=self.train, name=name
+            f, k, padding=p, tap=self.tap, train=self.train,
+            dtype=self.dtype, name=name
         )
         c7 = self.channels_7x7
         p17 = ((0, 0), (3, 3))
@@ -127,11 +135,13 @@ class InceptionC(nn.Module):
 class InceptionD(nn.Module):
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv = lambda f, k, s=1, p="VALID", name=None: BasicConv2d(
-            f, k, s, p, tap=self.tap, train=self.train, name=name
+            f, k, s, p, tap=self.tap, train=self.train,
+            dtype=self.dtype, name=name
         )
         b3 = conv(192, (1, 1), name="branch3x3_1")(x)
         b3 = conv(320, (3, 3), 2, name="branch3x3_2")(b3)
@@ -148,11 +158,13 @@ class InceptionD(nn.Module):
 class InceptionE(nn.Module):
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         conv = lambda f, k, p="VALID", name=None: BasicConv2d(
-            f, k, padding=p, tap=self.tap, train=self.train, name=name
+            f, k, padding=p, tap=self.tap, train=self.train,
+            dtype=self.dtype, name=name
         )
         b1 = conv(320, (1, 1), name="branch1x1")(x)
         b3 = conv(384, (1, 1), name="branch3x3_1")(x)
@@ -185,34 +197,41 @@ class Inception3(nn.Module):
     num_classes: int = 10
     tap: TapConfig | None = None
     dropout_rate: float = 0.5
+    dtype: Any = jnp.float32  # MXU compute dtype (see models/resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
         # CIFAR stem (inception.py:48): 3x3 s1 p1 conv to 192 channels
         x = BasicConv2d(
             192, (3, 3), 1, ((1, 1), (1, 1)), tap=self.tap, train=train,
-            name="Conv2d_1a_3x3",
+            dtype=self.dtype, name="Conv2d_1a_3x3",
         )(x)
-        x = InceptionA(32, self.tap, train, name="Mixed_5b")(x)
-        x = InceptionA(64, self.tap, train, name="Mixed_5c")(x)
-        x = InceptionA(64, self.tap, train, name="Mixed_5d")(x)
-        x = InceptionB(self.tap, train, name="Mixed_6a")(x)
-        x = InceptionC(128, self.tap, train, name="Mixed_6b")(x)
-        x = InceptionC(160, self.tap, train, name="Mixed_6c")(x)
-        x = InceptionC(160, self.tap, train, name="Mixed_6d")(x)
-        x = InceptionC(192, self.tap, train, name="Mixed_6e")(x)
-        x = InceptionD(self.tap, train, name="Mixed_7a")(x)
-        x = InceptionE(self.tap, train, name="Mixed_7b")(x)
-        x = InceptionE(self.tap, train, name="Mixed_7c")(x)
+        x = InceptionA(32, self.tap, train, dtype=self.dtype, name="Mixed_5b")(x)
+        x = InceptionA(64, self.tap, train, dtype=self.dtype, name="Mixed_5c")(x)
+        x = InceptionA(64, self.tap, train, dtype=self.dtype, name="Mixed_5d")(x)
+        x = InceptionB(self.tap, train, dtype=self.dtype, name="Mixed_6a")(x)
+        x = InceptionC(128, self.tap, train, dtype=self.dtype, name="Mixed_6b")(x)
+        x = InceptionC(160, self.tap, train, dtype=self.dtype, name="Mixed_6c")(x)
+        x = InceptionC(160, self.tap, train, dtype=self.dtype, name="Mixed_6d")(x)
+        x = InceptionC(192, self.tap, train, dtype=self.dtype, name="Mixed_6e")(x)
+        x = InceptionD(self.tap, train, dtype=self.dtype, name="Mixed_7a")(x)
+        x = InceptionE(self.tap, train, dtype=self.dtype, name="Mixed_7b")(x)
+        x = InceptionE(self.tap, train, dtype=self.dtype, name="Mixed_7c")(x)
         x = jnp.mean(x, axis=(1, 2))
         x = module_tap(self, x, LayerKind.POOL, self.tap)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(
             x, rng=self.make_rng("dropout") if train else None
         )
-        x = nn.Dense(self.num_classes, name="fc")(x)
+        x = nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
         x = module_tap(self, x, LayerKind.LINEAR, self.tap)
-        return module_tap(self, x, LayerKind.BLOCK, self.tap)
+        x = module_tap(self, x, LayerKind.BLOCK, self.tap)
+        return x.astype(jnp.float32)
 
 
-def inception_v3(num_classes: int = 10, tap: TapConfig | None = None) -> Inception3:
-    return Inception3(num_classes=num_classes, tap=tap)
+def inception_v3(
+    num_classes: int = 10,
+    tap: TapConfig | None = None,
+    dtype: Any = jnp.float32,
+) -> Inception3:
+    return Inception3(num_classes=num_classes, tap=tap, dtype=dtype)

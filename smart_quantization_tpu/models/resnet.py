@@ -36,6 +36,7 @@ class TappedBatchNorm(nn.Module):
     tap: TapConfig | None
     use_running_average: bool
     zero_init: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -44,7 +45,7 @@ class TappedBatchNorm(nn.Module):
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             scale_init=scale_init,
             name="bn",
         )
@@ -59,16 +60,17 @@ class BasicBlock(nn.Module):
     strides: int
     tap: TapConfig | None
     train: bool
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(
             self.filters, (3, 3), (self.strides, self.strides), padding=1,
-            use_bias=False, kernel_init=_conv_init, name="conv1",
+            use_bias=False, dtype=self.dtype, kernel_init=_conv_init, name="conv1",
         )(x)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
-        y = TappedBatchNorm(self.tap, not self.train, name="bn1")(y)
+        y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = module_tap(self, y, LayerKind.ACTIVATION, self.tap)
         y = nn.Conv(
@@ -76,15 +78,15 @@ class BasicBlock(nn.Module):
             kernel_init=_conv_init, name="conv2",
         )(y)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
-        y = TappedBatchNorm(self.tap, not self.train, zero_init=True, name="bn2")(y)
+        y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, zero_init=True, name="bn2")(y)
 
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.filters, (1, 1), (self.strides, self.strides),
-                use_bias=False, kernel_init=_conv_init, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, kernel_init=_conv_init, name="downsample_conv",
             )(residual)
             residual = module_tap(self, residual, LayerKind.CONV, self.tap)
-            residual = TappedBatchNorm(self.tap, not self.train, name="downsample_bn")(
+            residual = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="downsample_bn")(
                 residual
             )
 
@@ -99,40 +101,42 @@ class Bottleneck(nn.Module):
     tap: TapConfig | None
     train: bool
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(
-            self.filters, (1, 1), use_bias=False, kernel_init=_conv_init, name="conv1"
+            self.filters, (1, 1), use_bias=False, dtype=self.dtype, kernel_init=_conv_init, name="conv1"
         )(x)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
-        y = TappedBatchNorm(self.tap, not self.train, name="bn1")(y)
+        y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = module_tap(self, y, LayerKind.ACTIVATION, self.tap)
         y = nn.Conv(
             self.filters, (3, 3), (self.strides, self.strides), padding=1,
-            use_bias=False, kernel_init=_conv_init, name="conv2",
+            use_bias=False, dtype=self.dtype, kernel_init=_conv_init, name="conv2",
         )(y)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
-        y = TappedBatchNorm(self.tap, not self.train, name="bn2")(y)
+        y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = module_tap(self, y, LayerKind.ACTIVATION, self.tap)
         y = nn.Conv(
             self.filters * self.expansion, (1, 1), use_bias=False,
-            kernel_init=_conv_init, name="conv3",
+            dtype=self.dtype, kernel_init=_conv_init, name="conv3",
         )(y)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
-        y = TappedBatchNorm(self.tap, not self.train, zero_init=True, name="bn3")(y)
+        y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, zero_init=True, name="bn3")(y)
 
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.filters * self.expansion, (1, 1),
                 (self.strides, self.strides), use_bias=False,
-                kernel_init=_conv_init, name="downsample_conv",
+                dtype=self.dtype, kernel_init=_conv_init,
+                name="downsample_conv",
             )(residual)
             residual = module_tap(self, residual, LayerKind.CONV, self.tap)
-            residual = TappedBatchNorm(self.tap, not self.train, name="downsample_bn")(
+            residual = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, name="downsample_bn")(
                 residual
             )
 
@@ -148,15 +152,20 @@ class ResNet(nn.Module):
     block_cls: Callable
     num_classes: int = 10
     tap: TapConfig | None = None
+    # MXU compute dtype (params/BN stats stay fp32; logits returned fp32).
+    # bfloat16 doubles matmul/conv throughput on TPU — a deliberate
+    # TPU-native extension over the reference's fp32-only compute.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        x = x.astype(self.dtype)
         # CIFAR stem: 3x3 stride-1 conv, no maxpool (reference resnet.py:164-167)
         x = nn.Conv(
-            64, (3, 3), padding=1, use_bias=False, kernel_init=_conv_init, name="conv1"
+            64, (3, 3), padding=1, use_bias=False, dtype=self.dtype, kernel_init=_conv_init, name="conv1"
         )(x)
         x = module_tap(self, x, LayerKind.CONV, self.tap)
-        x = TappedBatchNorm(self.tap, not train, name="bn1")(x)
+        x = TappedBatchNorm(self.tap, not train, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = module_tap(self, x, LayerKind.ACTIVATION, self.tap)
 
@@ -165,18 +174,21 @@ class ResNet(nn.Module):
             for j in range(num_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
                 x = self.block_cls(
-                    filters, strides, self.tap, train, name=f"layer{i + 1}_{j}"
+                    filters, strides, self.tap, train, dtype=self.dtype,
+                    name=f"layer{i + 1}_{j}",
                 )(x)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = module_tap(self, x, LayerKind.POOL, self.tap)
         x = nn.Dense(
             self.num_classes,
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform"),
             name="fc",
         )(x)
         x = module_tap(self, x, LayerKind.LINEAR, self.tap)
-        return module_tap(self, x, LayerKind.BLOCK, self.tap)
+        x = module_tap(self, x, LayerKind.BLOCK, self.tap)
+        return x.astype(jnp.float32)  # loss/metrics in full precision
 
 
 resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock)

@@ -24,7 +24,7 @@ from smart_quantization_tpu.ops.float_format import (
 )
 
 _LANES = 1024
-_MAX_BLOCK_ROWS = 256
+_MAX_BLOCK_ROWS = 512  # 2 MB blocks (see smaq_kernel.py)
 _MIN_PALLAS_ELEMS = 8192
 _INV_2_24 = float(2.0**-24)
 

@@ -20,8 +20,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from smart_quantization_tpu.data import cifar as cifar_data
 from smart_quantization_tpu.inject.tap import TapConfig
@@ -56,6 +56,10 @@ def make_dp_train_step(
     DP group instead of per process).  ``tel_tpl`` (the zero 'telemetry'
     collection from model.init) additionally collects backward
     (gradient-map) sizes via the telemetry-token trick (inject/tap.py)."""
+    if not measure_ratio:
+        # telemetry grads are only consumed when ratios are measured; don't
+        # differentiate w.r.t. the token collection for nothing
+        tel_tpl = None
 
     def local_step(state: TrainState, images_u8, labels, key):
         dev = jax.lax.axis_index("data")
@@ -135,7 +139,7 @@ def make_dp_train_step(
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

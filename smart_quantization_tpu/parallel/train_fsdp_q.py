@@ -29,8 +29,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from smart_quantization_tpu.data import cifar as cifar_data
 from smart_quantization_tpu.optim.compressed import (
@@ -114,6 +114,10 @@ def make_fsdp_q_train_step(
     ``train_dp.make_dp_train_step`` (forward sown stats + backward
     telemetry-token gradients, psum'd over the whole mesh).
     """
+    if not measure_ratio:
+        # telemetry grads are only consumed when ratios are measured; don't
+        # differentiate w.r.t. the token collection for nothing
+        tel_tpl = None
     fsdp_size = mesh.shape["fsdp"]
     data_size = mesh.shape["data"]
     n_total = fsdp_size * data_size
@@ -287,7 +291,7 @@ def make_fsdp_q_train_step(
         mesh=mesh,
         in_specs=(state_specs, batch_spec, batch_spec, P()),
         out_specs=(state_specs, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,))
 

@@ -120,8 +120,8 @@ class BertTrainer:
         gradients exchanged with the quantized all-reduce
         (parallel/collectives.py) — the BERT equivalent of
         parallel/train_dp.py."""
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
         from smart_quantization_tpu.parallel.collectives import (
             compressed_allreduce_mean,
@@ -167,7 +167,7 @@ class BertTrainer:
             mesh=self.mesh,
             in_specs=(P(), batch_spec, P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(sharded, donate_argnums=(0,))
 
@@ -268,6 +268,7 @@ class BertTrainer:
         step = int(state.step)
         for epoch in range(self.cfg.epochs):
             t0 = time.time()
+            pending = []  # (step, metrics) not yet synced (Trainer._drain)
             for bi, batch in enumerate(self.data.train_batches(self.cfg.seed + epoch)):
                 if (
                     self.cfg.limit_train_batches is not None
@@ -286,32 +287,45 @@ class BertTrainer:
                     }
                 state, metrics = self._train_step(state, device_batch, k_step)
                 step += 1
+                pending.append((step, metrics))
                 if step % self.cfg.log_every == 0:
-                    host = {k: np.asarray(v) for k, v in metrics.items()}
-                    from smart_quantization_tpu.train.metrics import (
-                        merge_compression_metrics,
-                    )
-
-                    merge_compression_metrics(
-                        self.ratio_acc,
-                        {
-                            k.split("/", 1)[1]: v
-                            for k, v in host.items()
-                            if k.startswith("_ratio/")
-                        },
-                    )
-                    loss = float(host["train_loss"])
-                    self.logger.log(step, {"train_loss": loss})
-                    if self.cfg.terminate_on_nan and not np.isfinite(loss):
-                        print(f"NaN loss at step {step}; terminating.", flush=True)
-                        self.nan_terminated = True
-                        return state
+                    if self._drain(pending):
+                        return state  # NaN termination
+                    pending = []
+            if self._drain(pending):
+                return state
             val = self.evaluate(state)
             val["epoch"] = epoch
             val["epoch_time_s"] = time.time() - t0
             val.update(self.ratio_acc.summary())
             self.logger.log(step, val)
         return state
+
+    def _drain(self, pending) -> bool:
+        """Sync pending step metrics (every step's ratio telemetry is
+        accumulated, matching the reference's per-call sum-reduced sizes,
+        compress/base.py:8-18); returns True on NaN termination."""
+        from smart_quantization_tpu.train.metrics import (
+            merge_compression_metrics,
+        )
+
+        for s, m in pending:
+            host = {k: np.asarray(v) for k, v in m.items()}
+            merge_compression_metrics(
+                self.ratio_acc,
+                {
+                    k.split("/", 1)[1]: v
+                    for k, v in host.items()
+                    if k.startswith("_ratio/")
+                },
+            )
+            loss = float(host["train_loss"])
+            self.logger.log(s, {"train_loss": loss})
+            if self.cfg.terminate_on_nan and not np.isfinite(loss):
+                print(f"NaN loss at step {s}; terminating.", flush=True)
+                self.nan_terminated = True
+                return True
+        return False
 
     def evaluate(self, state: TrainState) -> dict[str, float]:
         preds, labels, losses = [], [], []
@@ -370,6 +384,8 @@ def run_bert(args):
         num_labels=data.num_labels,
         tap=comps["tap_cfg"],
         freeze_encoder=args.freeze_bert_encoder,
+        dtype=(jnp.bfloat16 if getattr(args, "compute_dtype", "float32")
+               == "bfloat16" else jnp.float32),
     )
     tcfg = TrainConfig(
         epochs=args.max_epochs,
@@ -387,6 +403,17 @@ def run_bert(args):
     if getattr(args, "dp", None) and args.dp > 1:
         from smart_quantization_tpu.parallel.mesh import make_mesh
 
+        n_dev = jax.device_count()
+        if args.dp != n_dev:
+            raise SystemExit(
+                f"--dp {args.dp} must equal the device count ({n_dev}): the "
+                "BERT path uses a pure data-parallel mesh (no fsdp axis)"
+            )
+        if args.batch_size % args.dp:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"--dp {args.dp} (each device takes batch_size/dp rows)"
+            )
         mesh = make_mesh(dp=args.dp)
         print(f"mesh: dp={mesh.shape['data']}; "
               f"grad bits: {args.grad_allreduce_bits or 'fp32'}")

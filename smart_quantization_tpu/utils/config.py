@@ -130,8 +130,20 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
         "--no_terminate_on_nan", action="store_false", dest="terminate_on_nan"
     )
     parser.add_argument("--precision", type=int, default=32, choices=(16, 32))
+    parser.add_argument(
+        "--compute_dtype", type=str, default="float32",
+        choices=("float32", "bfloat16"),
+        help="model matmul/conv compute dtype (params, BN/LN stats, loss and "
+             "quantizer math stay fp32).  bfloat16 doubles MXU throughput on "
+             "TPU — a TPU-native extension over the reference",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint_dir", type=str)
+    parser.add_argument(
+        "--resume_from", type=str,
+        help="restore params/optimizer state from an orbax checkpoint "
+             "directory (as written under --checkpoint_dir) before training",
+    )
     parser.add_argument("--dp", type=int, help="data-parallel mesh size (devices)")
     parser.add_argument(
         "--fsdp", type=int, default=1,

@@ -104,3 +104,75 @@ class TestEncoders:
         for name in COMPRESSORS:
             c = build_compressor(name)
             hash(c)  # usable as jit-static argument
+
+
+class TestFusedS2FP8Kernel:
+    """Pallas S2FP8 kernel vs the jnp reference (interpret mode on CPU).
+
+    The kernel computes the squeeze as exp2(alpha*log2|x| + beta) where the
+    jnp path uses jnp.power — identical math up to transcendental rounding,
+    so a small fraction of elements may land one FP8 grid step apart."""
+
+    def _cmp(self, x):
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+
+        y_ref = np.asarray(
+            s2fp8_quantize_dequantize(x, None, stochastic=False)
+        )
+        y_k = np.asarray(
+            s2fp8_fused(x, None, stochastic=False, interpret=True)
+        )
+        return y_ref, y_k
+
+    def test_matches_reference_normal(self):
+        x = jax.random.normal(jax.random.key(0), (8192,)) * 3.0
+        y_ref, y_k = self._cmp(x)
+        # same FP8 grid points: adjacent e5m2 points differ by >=6%
+        # relative, while transcendental noise (exp2/log2 vs pow; the scale
+        # varies with the backend's libm, ~1e-7 to ~1.3e-5 measured) stays
+        # far below that.  Allow a tiny fraction of borderline ties to land
+        # one grid step apart.
+        rel = np.abs(y_k - y_ref) / (np.abs(y_ref) + 1e-30)
+        assert (rel < 1e-3).mean() > 0.98
+        assert np.all(rel < 0.4)
+
+    def test_signs_and_zeros(self):
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+
+        x = jnp.concatenate([
+            jnp.array([0.0, -0.0, -1.5, 2.25, -0.003, 1e-20], jnp.float32),
+            jax.random.normal(jax.random.key(1), (4096,)),
+        ])
+        y = np.asarray(s2fp8_fused(x, None, stochastic=False, interpret=True))
+        assert y[0] == 0.0 and y[1] == 0.0
+        assert y[2] < 0 and y[3] > 0
+        # squeezed magnitudes can underflow the FP8 grid to (signed) zero;
+        # every surviving value must keep its sign
+        nz = y[6:] != 0.0
+        assert nz.mean() > 0.9
+        assert np.all(np.sign(y[6:][nz]) == np.sign(np.asarray(x)[6:][nz]))
+
+    def test_wide_range_accuracy(self):
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+
+        x = jnp.concatenate(
+            [jax.random.normal(jax.random.key(3), (512,)) * s
+             for s in (1e-4, 1.0, 1e4)]
+        )
+        y = np.asarray(s2fp8_fused(x, None, stochastic=False, interpret=True))
+        rel = np.abs(y - np.asarray(x)) / (np.abs(np.asarray(x)) + 1e-12)
+        assert np.median(rel) < 0.2
+
+    def test_constant_tensor_guarded(self):
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+
+        x = jnp.full((8192,), 2.0)
+        y = np.asarray(s2fp8_fused(x, None, stochastic=False, interpret=True))
+        assert np.all(np.isfinite(y))
+
+    def test_nonsquare_shape_roundtrip(self):
+        from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+
+        x = jax.random.normal(jax.random.key(4), (3, 17, 191))
+        y = s2fp8_fused(x, None, stochastic=False, interpret=True)
+        assert y.shape == x.shape and y.dtype == x.dtype

@@ -160,3 +160,62 @@ class TestBert:
         )
         # bert-base ~109M + pooler/classifier
         assert param_count(variables["params"]) / 1e6 == pytest.approx(109.5, abs=1.5)
+
+
+class TestComputeDtype:
+    """bfloat16 MXU compute (--compute_dtype): params and logits stay fp32,
+    intermediate matmuls/convs run in bf16 — a TPU-native extension over
+    the reference's fp32-only compute."""
+
+    def test_resnet_bf16_params_fp32_logits_fp32(self):
+        model = resnet18(num_classes=10, dtype=jnp.bfloat16)
+        x = jnp.ones((2, 32, 32, 3), jnp.float32)
+        v = init_model(model, x)
+        assert all(
+            l.dtype == jnp.float32 for l in jax.tree.leaves(v["params"])
+        )
+        out, _ = model.apply(
+            v, x, train=True, rngs={"compress": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        assert out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_resnet_bf16_close_to_fp32(self):
+        x = jax.random.normal(jax.random.key(3), (2, 32, 32, 3))
+        m32 = resnet18(num_classes=10)
+        mb = resnet18(num_classes=10, dtype=jnp.bfloat16)
+        v = init_model(m32, x)
+        out32 = m32.apply(v, x, train=False, rngs={"compress": jax.random.key(2)})
+        outb = mb.apply(v, x, train=False, rngs={"compress": jax.random.key(2)})
+        np.testing.assert_allclose(
+            np.asarray(outb), np.asarray(out32), atol=0.05
+        )
+
+    def test_bert_bf16_with_taps(self):
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = BertForSequenceClassification(
+            BertConfig.tiny(), num_labels=2, tap=tap, dtype=jnp.bfloat16
+        )
+        ids = jnp.zeros((2, 16), jnp.int32)
+        mask = jnp.ones((2, 16), jnp.int32)
+        rngs = {
+            "params": jax.random.key(0),
+            "compress": jax.random.key(1),
+            "dropout": jax.random.key(2),
+        }
+        v = model.init(rngs, ids, mask, ids, train=True)
+        out = model.apply(
+            {"params": v["params"]}, ids, mask, ids, train=False,
+            rngs={"compress": jax.random.key(3)},
+        )
+        assert out.dtype == jnp.float32
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_inception_bf16(self):
+        model = inception_v3(num_classes=10, dtype=jnp.bfloat16)
+        x = jnp.ones((1, 32, 32, 3), jnp.float32)
+        v = init_model(model, x, train=False)
+        out = model.apply(v, x, train=False, rngs={"compress": jax.random.key(2)})
+        assert out.dtype == jnp.float32 and out.shape == (1, 10)

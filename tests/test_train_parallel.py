@@ -144,13 +144,28 @@ class TestTrainerLoop:
             np.asarray(jax.tree.leaves(state.params)[0]),
         )
 
+    def test_resume_continues_training(self, tmp_path):
+        """--resume_from semantics: restore then keep fitting (the
+        reference delegates resume to Lightning's checkpoint callbacks,
+        SURVEY.md section 5)."""
+        trainer = self._trainer(checkpoint_dir=str(tmp_path))
+        state = trainer.fit()
+        ckpt = next(iter(tmp_path.iterdir()))
+        from smart_quantization_tpu.train.loop import restore_checkpoint
+
+        trainer2 = self._trainer()
+        template = trainer2.init_state(jax.random.key(0))
+        restored = restore_checkpoint(str(ckpt), jax.device_get(template))
+        state2 = trainer2.fit(restored)
+        assert int(state2.step) == int(state.step) + 3
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 class TestParallel:
     def test_compressed_allreduce_matches_pmean(self):
         mesh = make_mesh(dp=8)
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         x = jax.random.normal(jax.random.key(0), (8, 256)) * 3.0
 
@@ -162,7 +177,7 @@ class TestParallel:
 
         out = jax.jit(
             shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-                      check_rep=False)
+                      check_vma=False)
         )(x)
         expected = jnp.mean(x, axis=0)
         got = np.asarray(out)[:256]
@@ -327,7 +342,7 @@ class TestParallel:
             compressed_psum_mean,
         )
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(dp=8)
         x = jax.random.normal(jax.random.key(10), (8, 512)) * 2.0
@@ -338,7 +353,7 @@ class TestParallel:
 
         out = jax.jit(
             shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-                      check_rep=False)
+                      check_vma=False)
         )(x)
         expected = np.asarray(jnp.mean(x, axis=0))
         got = np.asarray(out)[:512]
@@ -352,7 +367,7 @@ class TestParallel:
             compressed_reduce_scatter_mean,
         )
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(dp=2, fsdp=4)
         # every device holds a full (16, 8) gradient; mean over all 8 devices,
@@ -373,7 +388,7 @@ class TestParallel:
                 f, mesh=mesh,
                 in_specs=P("data", "fsdp"),
                 out_specs=P("data", None),
-                check_rep=False,
+                check_vma=False,
             )
         )(g)
         expected_full = np.asarray(jnp.mean(g.reshape(8, 16, 8), axis=0))
@@ -391,7 +406,7 @@ class TestParallel:
             compressed_reduce_scatter_mean,
         )
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh2 = make_mesh(dp=4, fsdp=2)
         g = jnp.zeros((4, 2, 8, 8))
@@ -402,7 +417,7 @@ class TestParallel:
                     sum_axis_name="data",
                 ),
                 mesh=mesh2, in_specs=P("data", "fsdp"),
-                out_specs=P("data", "fsdp"), check_rep=False,
+                out_specs=P("data", "fsdp"), check_vma=False,
             )
         )(g)
         np.testing.assert_array_equal(np.asarray(out), 0.0)
@@ -412,7 +427,7 @@ class TestParallel:
             compressed_all_gather,
         )
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(dp=1, fsdp=8)
         x = jax.random.normal(jax.random.key(7), (8, 16, 4))
@@ -426,7 +441,7 @@ class TestParallel:
         # every device, so the output is genuinely replicated
         out = jax.jit(
             shard_map(f, mesh=mesh, in_specs=P(None, "fsdp", None),
-                      out_specs=P(None, None, None), check_rep=False)
+                      out_specs=P(None, None, None), check_vma=False)
         )(x.reshape(1, 8 * 16, 4))
         full_src = np.asarray(x.reshape(128, 4))
         got = np.asarray(out).reshape(128, 4)
@@ -559,8 +574,11 @@ class TestParallel:
         model = BertForSequenceClassification(
             BertConfig.tiny(), num_labels=data.num_labels, tap=tap
         )
+        # log_every > total steps: every step's ratio telemetry must still
+        # be accumulated via the end-of-epoch drain (ADVICE r1: sizes from
+        # off-cadence steps were silently dropped)
         cfg = TrainConfig(
-            epochs=1, log_every=1, limit_train_batches=2, limit_val_batches=1,
+            epochs=1, log_every=5, limit_train_batches=2, limit_val_batches=1,
             measure_compression_ratio=True,
         )
         trainer = BertTrainer(
@@ -582,7 +600,7 @@ class TestParallel:
             compressed_psum_mean,
         )
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mesh = make_mesh(dp=8)
         x = jnp.zeros((8, 256))
@@ -592,6 +610,6 @@ class TestParallel:
 
         out = jax.jit(
             shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
-                      check_rep=False)
+                      check_vma=False)
         )(x)
         np.testing.assert_array_equal(np.asarray(out)[:256], 0.0)

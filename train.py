@@ -43,12 +43,16 @@ def main(argv=None):
         print("NOTE: CIFAR archives not found under $SMAQ_DATA_DIR; "
               "using the synthetic stand-in dataset.")
 
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     if args.model == "resnet":
         model_fn = {"resnet18": resnet18, "resnet34": resnet34,
                     "resnet50": resnet50}[args.resnet_model]
     else:
         model_fn = inception_v3
-    model = model_fn(num_classes=data.num_classes, tap=comps["tap_cfg"])
+    model = model_fn(num_classes=data.num_classes, tap=comps["tap_cfg"],
+                     dtype=dtype)
 
     cfg = TrainConfig(
         epochs=args.max_epochs,
@@ -116,7 +120,15 @@ def main(argv=None):
             beta2=args.beta2, epsilon=args.epsilon,
         )
         trainer._train_step = None
-    state = trainer.fit()
+    state = None
+    if getattr(args, "resume_from", None):
+        from smart_quantization_tpu.train.loop import restore_checkpoint
+
+        state = restore_checkpoint(
+            args.resume_from, trainer.init_state(jax.random.key(args.seed))
+        )
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+    state = trainer.fit(state)
     final = trainer.evaluate(state)
     print("final:", final)
     return final
