@@ -33,6 +33,13 @@ import jax.numpy as jnp
 import optax
 
 from smart_quantization_tpu.compress.base import CompressorBase
+from smart_quantization_tpu.ops.codebook import (
+    SmaQCodes,
+    smaq_decode,
+    smaq_encode,
+    supports_codebook,
+)
+from smart_quantization_tpu.ops.smaq import SmaQParams
 from smart_quantization_tpu.utils.prng import tree_split
 
 
@@ -47,6 +54,13 @@ class OptimizerCompression:
     # quantized view (the reference's acc_quant accumulators,
     # optimizer.py:63-67,81-85 — plumbed but unused by its default wiring)
     use_weight_accumulator: bool = False
+    # REAL compressed momentum: persist SGD trace / Adam mu+nu as uint8
+    # unified-codebook SmaQ codes (ops/codebook.py) instead of fp32 — a true
+    # 4x on-device + checkpoint size reduction, decoded on use.  Values equal
+    # the fake-quant path bitwise wherever |z| <= ~3.64 sigma (the reference only
+    # simulates compression; this goes further).  Requires a SmaQ compressor
+    # whose bit widths fit the uint8 alphabet.
+    packed_momentum: bool = False
 
     @property
     def active(self) -> bool:
@@ -63,10 +77,39 @@ class CompressedOptState(NamedTuple):
 
 
 def init_opt_state(
-    spec: "OptimizerSpec", params: Any, compression: OptimizerCompression
-) -> CompressedOptState:
-    master = params if compression.use_weight_accumulator else None
-    return CompressedOptState(spec.tx.init(params), master)
+    spec: "OptimizerSpec",
+    params: Any,
+    compression: OptimizerCompression,
+    key: jax.Array | None = None,
+) -> Any:
+    """Build the initial optimizer state honoring the compression config.
+
+    With ``packed_momentum``, the momentum buffers are stored as uint8
+    codebook codes from step zero (the zero buffers encode/decode exactly).
+    Returns a ``CompressedOptState`` wrapper only when the full-precision
+    master accumulator is requested, matching what
+    :func:`compressed_optimizer_step` accepts either way.
+    """
+    inner = spec.tx.init(params)
+    if (
+        compression.packed_momentum
+        and compression.active
+        and compression.compress_momentum
+        and spec.has_momentum
+    ):
+        p = packed_smaq_params(compression)
+        k = key if key is not None else jax.random.key(0)
+
+        def enc(tree, all_positive):
+            out, _, _ = _encode_tree(
+                tree, jax.random.fold_in(k, int(all_positive)), p
+            )
+            return out
+
+        inner = _map_momentum_state(inner, spec.kind, enc)
+    if compression.use_weight_accumulator:
+        return CompressedOptState(inner, params)
+    return inner
 
 
 class OptimizerSpec(NamedTuple):
@@ -180,6 +223,59 @@ def _map_momentum_state(opt_state, kind: str, fn):
     )
 
 
+def packed_smaq_params(compression: OptimizerCompression) -> SmaQParams:
+    """Validate + fetch the SmaQ params backing packed-momentum storage."""
+    params = getattr(compression.compressor, "params", None)
+    if not isinstance(params, SmaQParams):
+        raise ValueError(
+            "packed_momentum requires the SmaQ compressor (--compress smart); "
+            f"got {type(compression.compressor).__name__}"
+        )
+    if not supports_codebook(params):
+        raise ValueError(
+            "packed_momentum needs 2^(bm-1) + 2^(bo-1) <= 256 codebook "
+            f"entries; {params.num_bits_main}/{params.num_bits_outlier} bits "
+            "do not fit uint8"
+        )
+    return params
+
+
+def _encode_tree(tree, key, params: SmaQParams):
+    """Encode every large-enough leaf to uint8 codes; returns
+    (tree, orig_bits, new_bits) with REAL (not simulated) sizes.
+
+    Key discipline matches :func:`_quantize_tree` (per-leaf ``tree_split``),
+    so packed and fake-quant runs draw identical rounding bits.  Leaves
+    below ``min_size`` stay fp32, mirroring the fake path's passthrough
+    (smart.py:123-128)."""
+    keys = tree_split(key, tree)
+    totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
+
+    def one(leaf, k):
+        totals["orig"] = totals["orig"] + jnp.float32(leaf.size * 32)
+        if leaf.size < params.min_size:
+            totals["new"] = totals["new"] + jnp.float32(leaf.size * 32)
+            return leaf
+        totals["new"] = totals["new"] + jnp.float32(leaf.size * 8 + 64)
+        return smaq_encode(leaf, k, params)
+
+    out = jax.tree.map(one, tree, keys)
+    return out, totals["orig"], totals["new"]
+
+
+def _decode_tree(tree, params: SmaQParams, all_positive: bool):
+    """Decode ``SmaQCodes`` leaves back to fp32 (others pass through)."""
+    return jax.tree.map(
+        lambda l: (
+            smaq_decode(l, params, all_positive=all_positive)
+            if isinstance(l, SmaQCodes)
+            else l
+        ),
+        tree,
+        is_leaf=lambda l: isinstance(l, SmaQCodes),
+    )
+
+
 def compressed_optimizer_step(
     spec: OptimizerSpec,
     params: Any,
@@ -202,6 +298,22 @@ def compressed_optimizer_step(
     if wrapped:
         master = opt_state.master
         opt_state = opt_state.inner
+
+    # packed momentum: state arrives as uint8 codes; decode to fp32 for the
+    # optimizer math (the decode IS the fake-quant value, bitwise)
+    packed = (
+        compression.packed_momentum
+        and compression.active
+        and compression.compress_momentum
+        and spec.has_momentum
+    )
+    if packed:
+        p_params = packed_smaq_params(compression)
+        opt_state = _map_momentum_state(
+            opt_state,
+            spec.kind,
+            lambda tree, ap: _decode_tree(tree, p_params, ap),
+        )
 
     if compression.active and key is not None:
         k_grad, k_weight, k_mom = jax.random.split(key, 3)
@@ -238,15 +350,28 @@ def compressed_optimizer_step(
     ):
         totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
-        def quantize_momentum(tree, all_positive):
-            ap_tree = jax.tree.map(lambda _: all_positive, tree)
-            out, o, n = _quantize_tree(
-                tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
-                all_positive_tree=ap_tree,
-            )
-            totals["orig"] = totals["orig"] + o
-            totals["new"] = totals["new"] + n
-            return out
+        if packed:
+            # persist as uint8 codes (REAL storage); sizes reported are the
+            # actual on-device footprint, not the simulated data-dependent one
+            def quantize_momentum(tree, all_positive):
+                out, o, n = _encode_tree(
+                    tree, jax.random.fold_in(k_mom, int(all_positive)), p_params
+                )
+                totals["orig"] = totals["orig"] + o
+                totals["new"] = totals["new"] + n
+                return out
+
+        else:
+
+            def quantize_momentum(tree, all_positive):
+                ap_tree = jax.tree.map(lambda _: all_positive, tree)
+                out, o, n = _quantize_tree(
+                    tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
+                    all_positive_tree=ap_tree,
+                )
+                totals["orig"] = totals["orig"] + o
+                totals["new"] = totals["new"] + n
+                return out
 
         opt_state = _map_momentum_state(opt_state, spec.kind, quantize_momentum)
         metrics["optimizer_momentum"] = jnp.stack([totals["orig"], totals["new"]])

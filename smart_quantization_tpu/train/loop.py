@@ -114,7 +114,7 @@ class Trainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        if self.optim_comp.use_weight_accumulator:
+        if self.optim_comp.use_weight_accumulator or self.optim_comp.packed_momentum:
             from smart_quantization_tpu.optim.compressed import init_opt_state
 
             opt_state = init_opt_state(self.spec, params, self.optim_comp)

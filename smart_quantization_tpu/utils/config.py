@@ -159,6 +159,12 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
         help="keep fp32 master weights; expose the quantized view (acc_quant)",
     )
     parser.add_argument(
+        "--packed_momentum", action="store_true",
+        help="persist SGD trace / Adam mu+nu as REAL uint8 SmaQ codebook "
+             "codes (4x on-device + checkpoint reduction; requires "
+             "--compress smart); the reference only simulates compression",
+    )
+    parser.add_argument(
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
@@ -312,7 +318,17 @@ def build_components(
         compress_gradients=args.compress_gradients,
         compress_momentum=args.compress_momentum_vectors,
         use_weight_accumulator=getattr(args, "use_weight_accumulator", False),
+        packed_momentum=getattr(args, "packed_momentum", False),
     ) if compressor is not None else OptimizerCompression()
+    if optim_comp.packed_momentum:
+        from smart_quantization_tpu.optim.compressed import packed_smaq_params
+
+        packed_smaq_params(optim_comp)  # fail fast on incompatible configs
+        if not optim_comp.compress_momentum:
+            raise ValueError(
+                "--packed_momentum requires momentum compression; drop "
+                "--no_compress_momentum_vectors"
+            )
 
     lr = args.learning_rate
     if args.scheduler_type == "multi_step":
