@@ -61,6 +61,13 @@ class OptimizerCompression:
     # simulates compression; this goes further).  Requires a SmaQ compressor
     # whose bit widths fit the uint8 alphabet.
     packed_momentum: bool = False
+    # REAL compressed weights: persist non-exempt params as uint8 codes too
+    # (decoded at every step/eval entry).  The decoded values equal the fake
+    # path's post-step quantized weights bitwise within the storage range;
+    # the one deviation is that the INITIAL params are quantized at init
+    # rather than after the first step (documented; they would be quantized
+    # one step later anyway).
+    packed_weights: bool = False
 
     @property
     def active(self) -> bool:
@@ -240,18 +247,21 @@ def packed_smaq_params(compression: OptimizerCompression) -> SmaQParams:
     return params
 
 
-def _encode_tree(tree, key, params: SmaQParams):
+def _encode_tree(tree, key, params: SmaQParams, *, skip_tree=None):
     """Encode every large-enough leaf to uint8 codes; returns
     (tree, orig_bits, new_bits) with REAL (not simulated) sizes.
 
     Key discipline matches :func:`_quantize_tree` (per-leaf ``tree_split``),
     so packed and fake-quant runs draw identical rounding bits.  Leaves
     below ``min_size`` stay fp32, mirroring the fake path's passthrough
-    (smart.py:123-128)."""
+    (smart.py:123-128); ``skip_tree`` leaves stay fp32 and are excluded from
+    the size totals, mirroring ``_quantize_tree``'s skip."""
     keys = tree_split(key, tree)
     totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
-    def one(leaf, k):
+    def one(leaf, k, skip):
+        if skip:
+            return leaf
         totals["orig"] = totals["orig"] + jnp.float32(leaf.size * 32)
         if leaf.size < params.min_size:
             totals["new"] = totals["new"] + jnp.float32(leaf.size * 32)
@@ -259,7 +269,9 @@ def _encode_tree(tree, key, params: SmaQParams):
         totals["new"] = totals["new"] + jnp.float32(leaf.size * 8 + 64)
         return smaq_encode(leaf, k, params)
 
-    out = jax.tree.map(one, tree, keys)
+    if skip_tree is None:
+        skip_tree = jax.tree.map(lambda _: False, tree)
+    out = jax.tree.map(one, tree, keys, skip_tree)
     return out, totals["orig"], totals["new"]
 
 
@@ -338,9 +350,19 @@ def compressed_optimizer_step(
     params = new_params
 
     if compression.active and compression.compress_weights:
-        params, o, n = _quantize_tree(
-            params, k_weight, comp, skip_tree=weight_exempt
-        )
+        if compression.packed_weights:
+            # persist non-exempt weights as uint8 codes (REAL storage); the
+            # next step's decode equals the fake path's stored f32 bitwise
+            params, o, n = _encode_tree(
+                params,
+                k_weight,
+                packed_smaq_params(compression),
+                skip_tree=weight_exempt,
+            )
+        else:
+            params, o, n = _quantize_tree(
+                params, k_weight, comp, skip_tree=weight_exempt
+            )
         metrics["optimizer_weight"] = jnp.stack([o, n])
 
     if (
@@ -379,3 +401,42 @@ def compressed_optimizer_step(
     if wrapped:
         opt_state = CompressedOptState(opt_state, master)
     return params, opt_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Packed-weights helpers (used by the train loops around the step)
+# ---------------------------------------------------------------------------
+
+
+def decode_params(params: Any, compression: OptimizerCompression) -> Any:
+    """Decode a (possibly) packed param tree to fp32 for forward/grad use.
+
+    Identity when ``packed_weights`` is off or no leaf is packed; otherwise
+    elementwise uint8 -> fp32 decode (the values ARE the fake path's stored
+    quantized weights)."""
+    if not compression.packed_weights:
+        return params
+    return _decode_tree(params, packed_smaq_params(compression), False)
+
+
+def encode_params(
+    params: Any,
+    compression: OptimizerCompression,
+    key: jax.Array | None = None,
+    *,
+    exempt: Any = None,
+) -> Any:
+    """Encode fresh fp32 params into packed storage (for init/restore).
+
+    Deviation from the fake path (documented on ``packed_weights``): initial
+    params are quantized here instead of after the first optimizer step.
+    """
+    if not compression.packed_weights:
+        return params
+    if exempt is None:
+        exempt = norm_param_mask(params)
+    k = key if key is not None else jax.random.key(0)
+    out, _, _ = _encode_tree(
+        params, k, packed_smaq_params(compression), skip_tree=exempt
+    )
+    return out

@@ -120,6 +120,10 @@ class Trainer:
             opt_state = init_opt_state(self.spec, params, self.optim_comp)
         else:
             opt_state = self.spec.tx.init(params)
+        if self.optim_comp.packed_weights:
+            from smart_quantization_tpu.optim.compressed import encode_params
+
+            params = encode_params(params, self.optim_comp, k_comp)
         return TrainState(jnp.int32(0), params, batch_stats, opt_state)
 
     def _fsdp_active(self) -> bool:
@@ -154,6 +158,12 @@ class Trainer:
     def build_train_step(self, state: TrainState | None = None):
         tel_tpl = self._telemetry_template()
         self._bwd_tel_active = tel_tpl is not None
+        if self.optim_comp.packed_weights and self.mesh is not None:
+            raise NotImplementedError(
+                "--packed_weights is single-chip for now; the DP/FSDP paths "
+                "shard fp32 params (FSDP already moves quantized int8 "
+                "payloads over the mesh instead)"
+            )
         if self._fsdp_active():
             # fused FSDP: params/opt-state sharded over 'fsdp', int8
             # quantized param all-gather + gradient reduce-scatter
@@ -197,9 +207,13 @@ class Trainer:
         # w.r.t. the zero 'telemetry' collection — its gradient IS
         # [orig_bits, new_bits] per module, with no host callbacks.
         def train_step(state: TrainState, images_u8, labels, key):
+            from smart_quantization_tpu.optim.compressed import decode_params
+
             k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
             x = cifar_data.augment(images_u8, k_aug)
             x = cifar_data.normalize(x)
+            # packed weights: uint8 codes -> fp32 view (identity otherwise)
+            in_params = decode_params(state.params, self.optim_comp)
 
             def loss_fn(params, telemetry):
                 variables = {"params": params, "batch_stats": state.batch_stats}
@@ -225,17 +239,17 @@ class Trainer:
             if tel_tpl is not None:
                 (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
-                )(state.params, tel_tpl)
+                )(in_params, tel_tpl)
             else:
                 (loss, (logits, mut)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
-                )(state.params, None)
+                )(in_params, None)
                 tel_grads = None
 
-            exempt = norm_param_mask(state.params)
+            exempt = norm_param_mask(in_params)
             params, opt_state, opt_metrics = compressed_optimizer_step(
                 self.spec,
-                state.params,
+                in_params,
                 grads,
                 state.opt_state,
                 k_opt,
@@ -275,8 +289,11 @@ class Trainer:
 
     def build_eval_step(self):
         def eval_step(state: TrainState, images_u8, labels):
+            from smart_quantization_tpu.optim.compressed import decode_params
+
             x = cifar_data.normalize(images_u8)
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            params = decode_params(state.params, self.optim_comp)
+            variables = {"params": params, "batch_stats": state.batch_stats}
             logits = self.model.apply(
                 variables, x, train=False, rngs={"compress": jax.random.key(0)}
             )

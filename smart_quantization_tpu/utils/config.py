@@ -165,6 +165,11 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "--compress smart); the reference only simulates compression",
     )
     parser.add_argument(
+        "--packed_weights", action="store_true",
+        help="persist non-norm params as REAL uint8 SmaQ codebook codes, "
+             "decoded at step entry (single-chip; requires --compress smart)",
+    )
+    parser.add_argument(
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
@@ -319,15 +324,21 @@ def build_components(
         compress_momentum=args.compress_momentum_vectors,
         use_weight_accumulator=getattr(args, "use_weight_accumulator", False),
         packed_momentum=getattr(args, "packed_momentum", False),
+        packed_weights=getattr(args, "packed_weights", False),
     ) if compressor is not None else OptimizerCompression()
-    if optim_comp.packed_momentum:
+    if optim_comp.packed_momentum or optim_comp.packed_weights:
         from smart_quantization_tpu.optim.compressed import packed_smaq_params
 
         packed_smaq_params(optim_comp)  # fail fast on incompatible configs
-        if not optim_comp.compress_momentum:
+        if optim_comp.packed_momentum and not optim_comp.compress_momentum:
             raise ValueError(
                 "--packed_momentum requires momentum compression; drop "
                 "--no_compress_momentum_vectors"
+            )
+        if optim_comp.packed_weights and not optim_comp.compress_weights:
+            raise ValueError(
+                "--packed_weights requires weight compression; drop "
+                "--no_compress_weights"
             )
 
     lr = args.learning_rate

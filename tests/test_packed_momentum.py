@@ -274,3 +274,138 @@ class TestTrainerIntegration:
         ):
             assert b.codes.dtype == jnp.uint8
             np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+
+
+class TestPackedWeights:
+    """--packed_weights: params persisted as uint8 codes."""
+
+    def test_single_step_decode_matches_fake_weights(self):
+        spec = build_optimizer("sgd", 0.05)
+        smaq = build_compressor("smart")
+        fake = OptimizerCompression(compressor=smaq)
+        packed = OptimizerCompression(
+            compressor=smaq, packed_weights=True, packed_momentum=True
+        )
+        from smart_quantization_tpu.optim.compressed import decode_params
+
+        params = {"w": jax.random.normal(jax.random.key(0), (1024,))}
+        g = {"w": jax.random.normal(jax.random.key(1), (1024,)) * 0.05}
+        k = jax.random.key(2)
+        s_f = spec.tx.init(params)
+        s_p = init_opt_state(spec, params, packed)
+        p_f, _, _ = compressed_optimizer_step(spec, params, g, s_f, k, fake)
+        p_p, _, mets = compressed_optimizer_step(spec, params, g, s_p, k, packed)
+        assert isinstance(p_p["w"], SmaQCodes)
+        assert p_p["w"].codes.dtype == jnp.uint8
+        dec = np.asarray(decode_params(p_p, packed)["w"])
+        f = np.asarray(p_f["w"])
+        assert np.mean(f == dec) > 0.98
+        # a >3.64-sigma tail element clamps by (|z| - limit) * std
+        np.testing.assert_allclose(f, dec, rtol=0, atol=0.5)
+        # weight metrics report the REAL footprint
+        o, n = np.asarray(mets["optimizer_weight"])
+        assert o == 1024 * 32 and n == 1024 * 8 + 64
+
+    def test_exempt_leaves_stay_fp32(self):
+        spec = build_optimizer("sgd", 0.05)
+        packed = OptimizerCompression(
+            compressor=build_compressor("smart"), packed_weights=True
+        )
+        params = {
+            "conv": {"kernel": jnp.ones((64,))},
+            "bn1": {"scale": jnp.ones((64,))},
+        }
+        exempt = {
+            "conv": {"kernel": False},
+            "bn1": {"scale": True},
+        }
+        g = jax.tree.map(lambda p: p * 0.01, params)
+        s = spec.tx.init(params)
+        p, _, _ = compressed_optimizer_step(
+            spec, params, g, s, jax.random.key(0), packed, weight_exempt=exempt
+        )
+        assert isinstance(p["conv"]["kernel"], SmaQCodes)
+        assert not isinstance(p["bn1"]["scale"], SmaQCodes)
+
+    def _trainer(self, tmp_path=None):
+        from smart_quantization_tpu.data.cifar import CIFAR10Data
+        from smart_quantization_tpu.inject.tap import TapConfig
+        from smart_quantization_tpu.models.tiny import TinyCNN
+        from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+        from smart_quantization_tpu.train.metrics import MetricLogger
+
+        comp = build_compressor("smart", use_pallas=False)
+        tap = TapConfig(compressor=comp)
+        model = TinyCNN(num_classes=10, tap=tap)
+        data = CIFAR10Data(batch_size=8)
+        spec = build_optimizer("sgd", 0.05, momentum=0.9)
+        cfg = TrainConfig(
+            epochs=1, log_every=2, limit_train_batches=3, limit_val_batches=1,
+            checkpoint_dir=str(tmp_path) if tmp_path else None,
+        )
+        return Trainer(
+            model, data, spec,
+            tap_cfg=tap,
+            optim_comp=OptimizerCompression(
+                compressor=comp, packed_weights=True, packed_momentum=True
+            ),
+            config=cfg,
+            logger=MetricLogger(None),
+        )
+
+    def test_fit_evaluate_checkpoint_with_packed_weights(self, tmp_path):
+        trainer = self._trainer(tmp_path)
+        state = trainer.fit()
+        assert int(state.step) == 3
+        # every large non-norm param leaf is stored packed
+        packed_leaves = [
+            l for l in jax.tree.leaves(
+                state.params, is_leaf=lambda l: isinstance(l, SmaQCodes)
+            ) if isinstance(l, SmaQCodes)
+        ]
+        assert packed_leaves
+        val = trainer.evaluate(state)
+        assert np.isfinite(val["val_loss"])
+
+        from smart_quantization_tpu.train.loop import restore_checkpoint
+
+        ckpts = list(tmp_path.iterdir())
+        restored = restore_checkpoint(str(ckpts[0]), jax.device_get(state))
+        a = jax.tree.leaves(state.params, is_leaf=lambda l: isinstance(l, SmaQCodes))
+        b = jax.tree.leaves(restored.params, is_leaf=lambda l: isinstance(l, SmaQCodes))
+        for x, y in zip(a, b):
+            if isinstance(x, SmaQCodes):
+                np.testing.assert_array_equal(np.asarray(x.codes), np.asarray(y.codes))
+
+
+def test_packed_momentum_under_dp_mesh():
+    """packed momentum composes with the DP shard_map path: uint8 state is
+    replicated; shared optimizer keys keep replicas bit-identical."""
+    from smart_quantization_tpu.data.cifar import CIFAR10Data
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.tiny import TinyCNN
+    from smart_quantization_tpu.parallel.mesh import make_mesh
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+    from smart_quantization_tpu.train.metrics import MetricLogger
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(dp=jax.device_count())
+    comp = build_compressor("smart", use_pallas=False)
+    tap = TapConfig(compressor=comp)
+    model = TinyCNN(num_classes=10, tap=tap)
+    data = CIFAR10Data(batch_size=32)  # val bs = 8 shards over 8 devices
+    spec = build_optimizer("adam", 1e-3)
+    trainer = Trainer(
+        model, data, spec,
+        tap_cfg=tap,
+        optim_comp=OptimizerCompression(compressor=comp, packed_momentum=True),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
+                           limit_val_batches=1),
+        logger=MetricLogger(None),
+        mesh=mesh,
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2
+    leaves = _momentum_leaves(state.opt_state)
+    assert leaves and all(isinstance(l, SmaQCodes) for l in leaves)
