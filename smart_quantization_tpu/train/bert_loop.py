@@ -21,6 +21,7 @@ from smart_quantization_tpu.models.bert import (
 )
 from smart_quantization_tpu.optim.compressed import (
     compressed_optimizer_step,
+    init_opt_state,
     norm_param_mask,
 )
 from smart_quantization_tpu.train.glue_metrics import glue_metrics
@@ -57,6 +58,11 @@ class BertTrainer:
         # ride the quantized all-reduce unless grad_allreduce_bits is None
         self.mesh = mesh
         self.grad_allreduce_bits = grad_allreduce_bits
+        if optim_comp.packed_weights:
+            raise NotImplementedError(
+                "--packed_weights is wired for the image Trainer only; BERT "
+                "supports --packed_momentum (mu+nu dominate AdamW state)"
+            )
 
     def init_state(self, key: jax.Array, pretrained_params=None) -> TrainState:
         L = self.data.max_input_length
@@ -77,7 +83,12 @@ class BertTrainer:
         if pretrained_params is not None:
             # graft pretrained encoder weights over the fresh init
             params = {**params, **pretrained_params}
-        return TrainState(jnp.int32(0), params, {}, self.spec.tx.init(params))
+        opt_state = (
+            init_opt_state(self.spec, params, self.optim_comp)
+            if self.optim_comp.packed_momentum
+            else self.spec.tx.init(params)
+        )
+        return TrainState(jnp.int32(0), params, {}, opt_state)
 
     def _telemetry_template(self):
         """Zero 'telemetry' collection for the backward-size telemetry-token

@@ -164,6 +164,16 @@ class Trainer:
                 "shard fp32 params (FSDP already moves quantized int8 "
                 "payloads over the mesh instead)"
             )
+        if self.optim_comp.packed_momentum and self._fsdp_active():
+            # per-shard encode would give shard-local (mean, std) scalars
+            # (violating the replicated out-spec) and shard-local min_size
+            # decisions (violating the packed structure) — supported on
+            # single chip and the DP mesh, where state is replicated
+            raise NotImplementedError(
+                "--packed_momentum composes with single-chip and --dp; under "
+                "--fsdp the optimizer state is already sharded N-ways "
+                "(use that for memory scaling)"
+            )
         if self._fsdp_active():
             # fused FSDP: params/opt-state sharded over 'fsdp', int8
             # quantized param all-gather + gradient reduce-scatter

@@ -19,6 +19,10 @@ if (
     env["SMAQ_TEST_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable the TPU plugin sitecustomize
+    # zero-egress container: skip huggingface's 5-retry DNS timeout (~30 s
+    # per GLUE/IMDB test) and go straight to the synthetic fallback
+    env.setdefault("HF_HUB_OFFLINE", "1")
+    env.setdefault("HF_DATASETS_OFFLINE", "1")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

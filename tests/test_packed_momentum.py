@@ -409,3 +409,90 @@ def test_packed_momentum_under_dp_mesh():
     assert int(state.step) == 2
     leaves = _momentum_leaves(state.opt_state)
     assert leaves and all(isinstance(l, SmaQCodes) for l in leaves)
+
+
+def test_packed_momentum_bert_loop():
+    """BertTrainer inits packed momentum state directly (AdamW mu+nu are the
+    dominant fine-tuning state: real 4x there)."""
+    from smart_quantization_tpu.data.glue import GLUEData
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.bert import (
+        BertConfig,
+        BertForSequenceClassification,
+    )
+    from smart_quantization_tpu.train.bert_loop import BertTrainer
+    from smart_quantization_tpu.train.loop import TrainConfig
+    from smart_quantization_tpu.train.metrics import MetricLogger
+
+    comp = build_compressor("smart", use_pallas=False)
+    tap = TapConfig(compressor=comp)
+    data = GLUEData(task="stsb", batch_size=4, max_input_length=16)
+    model = BertForSequenceClassification(
+        BertConfig.tiny(), num_labels=data.num_labels, tap=tap
+    )
+    trainer = BertTrainer(
+        model, data, build_optimizer("adamw", 1e-4),
+        optim_comp=OptimizerCompression(compressor=comp, packed_momentum=True),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
+                           limit_val_batches=1),
+        logger=MetricLogger(None), task="stsb",
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2
+    leaves = _momentum_leaves(state.opt_state)
+    packed_leaves = [l for l in leaves if isinstance(l, SmaQCodes)]
+    assert packed_leaves
+    # only sub-min_size leaves (e.g. the stsb head's single-logit bias) stay f32
+    for l in leaves:
+        if not isinstance(l, SmaQCodes):
+            assert l.size < 8
+    val = trainer.evaluate(state)
+    assert np.isfinite(val["val_loss"])
+
+
+def test_bert_rejects_packed_weights():
+    from smart_quantization_tpu.train.bert_loop import BertTrainer
+    from smart_quantization_tpu.train.loop import TrainConfig
+
+    with pytest.raises(NotImplementedError, match="packed_weights"):
+        BertTrainer(
+            None, None, build_optimizer("adamw", 1e-4),
+            optim_comp=OptimizerCompression(
+                compressor=build_compressor("smart"), packed_weights=True
+            ),
+            config=TrainConfig(), task="stsb",
+        )
+
+
+def test_packed_momentum_under_fsdp_mesh():
+    """packed momentum is rejected under FSDP with a clear error: per-shard
+    encode would produce shard-local (mean, std) scalars and shard-local
+    min_size decisions, breaking the replicated structure.  (FSDP already
+    shards the optimizer state N-ways for memory scaling.)"""
+    from smart_quantization_tpu.data.cifar import CIFAR10Data
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.tiny import TinyCNN
+    from smart_quantization_tpu.parallel.mesh import make_mesh
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+    from smart_quantization_tpu.train.metrics import MetricLogger
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    comp = build_compressor("smart", use_pallas=False)
+    tap = TapConfig(compressor=comp)
+    model = TinyCNN(num_classes=10, tap=tap)
+    data = CIFAR10Data(batch_size=32)
+    spec = build_optimizer("adam", 1e-3)
+    trainer = Trainer(
+        model, data, spec,
+        tap_cfg=tap,
+        optim_comp=OptimizerCompression(compressor=comp, packed_momentum=True),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
+                           limit_val_batches=1),
+        logger=MetricLogger(None),
+        mesh=make_mesh(dp=2, fsdp=4),
+        grad_allreduce_bits=8,
+        param_gather_bits=8,
+    )
+    with pytest.raises(NotImplementedError, match="packed_momentum"):
+        trainer.fit()
