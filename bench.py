@@ -62,12 +62,20 @@ def main():
     # synced by a tiny device->host read.  Immune to dispatch/RPC latency,
     # and unrolled because lax.fori_loop costs ~2 ms/iteration on relayed
     # backends (measured) while changing nothing about the kernel.
-    def make_chain(k_iters):
+    def make_chain(k_iters, compute_size=False):
+        # compute_size=False is the DEFAULT training hot path: the reference
+        # only accounts sizes under --measure_compression_ratio (off by
+        # default); the in-kernel outlier count is pure VPU overhead on a
+        # bandwidth-bound kernel.  The telemetry-mode cost is reported in
+        # the detail dict.
         @jax.jit
         def g(x, base_seed):
             y = x
             for i in range(k_iters):
-                y, _ = smaq_fused(y, None, params, seed=base_seed + i)
+                y, _ = smaq_fused(
+                    y, None, params, seed=base_seed + i,
+                    compute_size=compute_size,
+                )
             return jnp.sum(y[:8])
 
         return g
@@ -116,11 +124,15 @@ def main():
                 best = min(best, d)
         return best
 
+    import functools
+
     dt = slope_ms(make_chain)
+    dt_telemetry = slope_ms(functools.partial(make_chain, compute_size=True))
     dt_ceiling = slope_ms(make_ceiling_chain)
 
     bytes_moved = n * 4 * 2  # fp32 read + fp32 write
     gbs = bytes_moved / dt / 1e9
+    gbs_telemetry = bytes_moved / dt_telemetry / 1e9
     ceiling_gbs = bytes_moved / dt_ceiling / 1e9
     roofline = detect_roofline() if on_tpu else float("nan")
     frac = gbs / roofline if on_tpu else 0.0
@@ -138,6 +150,7 @@ def main():
                     "per_call_ms": round(dt * 1e3, 3),
                     "roofline_gbs": roofline,
                     "fraction_of_roofline": round(frac, 4),
+                    "with_size_telemetry_gbs": round(gbs_telemetry, 2),
                     "measured_elementwise_ceiling_gbs": round(ceiling_gbs, 2),
                     "fraction_of_measured_ceiling": round(
                         gbs / ceiling_gbs, 4

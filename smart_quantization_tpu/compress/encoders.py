@@ -35,6 +35,11 @@ class SmaQ(CompressorBase):
     use_batch_norm: bool = False
     bn_scalar_params: bool = False
     use_pallas: bool = True  # fused TPU kernel on the hot path when available
+    # False skips the fused kernel's in-kernel outlier count — the reference
+    # only accounts sizes under --measure_compression_ratio (off by default,
+    # compress/base.py:79), and the count is pure VPU overhead on a
+    # bandwidth-bound kernel.  SizeStats are then the all-main-bucket floor.
+    measure_sizes: bool = True
 
     name = "smart"
 
@@ -51,7 +56,8 @@ class SmaQ(CompressorBase):
             )
 
             x_hat, new_bits = smaq_fused_or_reference(
-                x, key, self.params, all_positive=all_positive
+                x, key, self.params, all_positive=all_positive,
+                compute_size=self.measure_sizes,
             )
         elif (
             self.use_pallas

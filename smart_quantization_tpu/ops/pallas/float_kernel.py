@@ -94,9 +94,9 @@ def fp_round_block(
     inv_quantum_a = 2.0 ** min(-(fmt.emin - fmt.man), 100)
     inv_quantum_b = 2.0 ** max(-(fmt.emin - fmt.man) - 100, 0)
     t = jnp.abs(xf) * jnp.float32(inv_quantum_a) * jnp.float32(inv_quantum_b)
-    floored = jnp.floor(t)
     if stochastic:
-        q = floored + ((t - floored) > probs).astype(jnp.float32)
+        # floor(t + u): same distribution as floored+(frac>u), fewer VPU ops
+        q = jnp.floor(t + probs)
     else:
         q = jnp.round(t)  # round-half-even on the fixed grid
     y_sub = q * jnp.float32(quantum)

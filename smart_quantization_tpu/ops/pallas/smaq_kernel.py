@@ -76,12 +76,19 @@ def _kernel(
     n_elems: int,
     num_bits_main: int,
     num_bits_outlier: int,
+    compute_size: bool,
 ):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
     def _init():
-        count_ref[0, 0] = jnp.float32(0.0)
+        if compute_size:
+            count_ref[0, 0] = jnp.float32(0.0)
+        else:
+            # size accounting off: skip the per-block outlier reduction (a
+            # measurable VPU cost on a bandwidth-bound kernel) and emit the
+            # static all-main-bucket floor as a placeholder
+            count_ref[0, 0] = jnp.float32(n_elems * num_bits_main)
         if sample_in_kernel:
             # stratified sample: num_samples positions strided across block 0
             # via a vectorized mask (scalar VMEM loads compile poorly);
@@ -133,7 +140,6 @@ def _kernel(
     scale = jnp.where(outlier, jnp.float32(range_outlier), jnp.float32(range_main))
 
     q = (z + shift) * scale
-    floored = jnp.floor(q)
     if stochastic:
         pltpu.prng_seed(seed_ref[0, 0] + pid)
         rbits = pltpu.bitcast(pltpu.prng_random_bits(q.shape), jnp.uint32)
@@ -141,7 +147,10 @@ def _kernel(
         probs = pltpu.bitcast(rbits >> 8, jnp.int32).astype(jnp.float32) * jnp.float32(
             _INV_2_24
         )
-        q = floored + ((q - floored) > probs).astype(jnp.float32)
+        # stochastic round as floor(q + u): P(up) = frac(q), identical in
+        # distribution to the floored+(frac>u) form but 3 fewer VPU ops on a
+        # kernel that is VPU-bound at the bandwidth ceiling
+        q = jnp.floor(q + probs)
     else:
         q = jnp.trunc(q)
 
@@ -152,22 +161,23 @@ def _kernel(
     if all_positive:
         y = jnp.maximum(y, 0.0)
     y_ref[:] = y
-    count_ref[0, 0] += jnp.sum(outlier.astype(jnp.float32))
+    if compute_size:
+        count_ref[0, 0] += jnp.sum(outlier.astype(jnp.float32))
 
-    # final grid step: correct the zero-padding contribution and turn the
-    # outlier count into the data-dependent size in bits — the kernel's
-    # scalar output IS new_size, so the caller does no host-side math
-    @pl.when(pid == pl.num_programs(0) - 1)
-    def _finalize():
-        cnt = count_ref[0, 0]
-        if pad:
-            pad_z = jnp.abs(b)  # |(0 - mean)/std|
-            is_out = (pad_z > t).astype(jnp.float32)
-            cnt = cnt - jnp.float32(pad) * is_out
-        count_ref[0, 0] = (
-            jnp.float32(n_elems * num_bits_main)
-            + cnt * jnp.float32(num_bits_outlier - num_bits_main)
-        )
+        # final grid step: correct the zero-padding contribution and turn the
+        # outlier count into the data-dependent size in bits — the kernel's
+        # scalar output IS new_size, so the caller does no host-side math
+        @pl.when(pid == pl.num_programs(0) - 1)
+        def _finalize():
+            cnt = count_ref[0, 0]
+            if pad:
+                pad_z = jnp.abs(b)  # |(0 - mean)/std|
+                is_out = (pad_z > t).astype(jnp.float32)
+                cnt = cnt - jnp.float32(pad) * is_out
+            count_ref[0, 0] = (
+                jnp.float32(n_elems * num_bits_main)
+                + cnt * jnp.float32(num_bits_outlier - num_bits_main)
+            )
 
 
 def _round_up(v: int, m: int) -> int:
@@ -186,7 +196,8 @@ def _bucket_rows(rows: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "all_positive", "interpret")
+    jax.jit,
+    static_argnames=("params", "all_positive", "interpret", "compute_size"),
 )
 def smaq_fused(
     x: jax.Array,
@@ -198,10 +209,16 @@ def smaq_fused(
     mean: jax.Array | None = None,
     std: jax.Array | None = None,
     seed: jax.Array | None = None,
+    compute_size: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused-kernel SmaQ; same contract as ``smaq_quantize_dequantize``.
     Precomputed ``mean``/``std`` skip the stats pass.  A raw int32 ``seed``
-    bypasses key plumbing entirely (zero host-side RNG ops)."""
+    bypasses key plumbing entirely (zero host-side RNG ops).
+
+    ``compute_size=False`` skips the in-kernel outlier count (the reference
+    only tracks sizes under --measure_compression_ratio, which is OFF by
+    default, compress/base.py:79); the returned size is then the static
+    all-main-bucket floor, not the data-dependent value."""
     orig_dtype = x.dtype
     n = x.size
     if n < params.min_size:
@@ -263,6 +280,7 @@ def smaq_fused(
         n_elems=n,
         num_bits_main=params.num_bits_main,
         num_bits_outlier=params.num_bits_outlier,
+        compute_size=compute_size,
     )
     scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     scalars2_spec = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -307,6 +325,7 @@ def smaq_fused_or_reference(
     params: SmaQParams = SmaQParams(),
     *,
     all_positive: bool = False,
+    compute_size: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Dispatch to the fused TPU kernel when profitable, else the jnp path.
 
@@ -315,7 +334,11 @@ def smaq_fused_or_reference(
     samples stratified positions, the jnp path samples a random stratum).
     """
     if _use_pallas() and x.size >= _MIN_PALLAS_ELEMS:
-        return smaq_fused(x, key, params, all_positive=all_positive)
+        return smaq_fused(
+            x, key, params, all_positive=all_positive, compute_size=compute_size
+        )
+    # the jnp path always computes the true size; XLA dead-code-eliminates
+    # it when the caller ignores the output
     return smaq_quantize_dequantize(x, key, params, all_positive=all_positive)
 
 
@@ -382,14 +405,14 @@ def _kernel_bn(
     shift = jnp.where(hi, jnp.float32(-t), jnp.where(lo, jnp.float32(t), 0.0))
     scale = jnp.where(outlier, jnp.float32(range_outlier), jnp.float32(range_main))
     q = (z + shift) * scale
-    floored = jnp.floor(q)
     if stochastic:
         pltpu.prng_seed(seed_ref[0, 0] + pid)
         rbits = pltpu.bitcast(pltpu.prng_random_bits(q.shape), jnp.uint32)
         probs = pltpu.bitcast(rbits >> 8, jnp.int32).astype(jnp.float32) * jnp.float32(
             _INV_2_24
         )
-        q = floored + ((q - floored) > probs).astype(jnp.float32)
+        # floor(q + u): same distribution as floored+(frac>u), fewer VPU ops
+        q = jnp.floor(q + probs)
     else:
         q = jnp.trunc(q)
     inv_scale = jnp.where(

@@ -303,6 +303,9 @@ def build_components(
                 use_batch_norm=args.use_batch_norm,
                 bn_scalar_params=args.bn_scalar_params,
                 use_pallas=args.use_pallas,
+                # skip the fused kernel's in-kernel size accounting when the
+                # ratio telemetry is off (the reference's default)
+                measure_sizes=getattr(args, "measure_compression_ratio", True),
             )
         elif args.compress in ("fp8", "s2fp8", "fp16", "bf16"):
             opts.update(check_inf=args.float_quantize_check_inf)
