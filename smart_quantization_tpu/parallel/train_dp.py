@@ -29,6 +29,7 @@ from smart_quantization_tpu.optim.compressed import (
     OptimizerCompression,
     OptimizerSpec,
     compressed_optimizer_step,
+    decode_params,
     norm_param_mask,
 )
 from smart_quantization_tpu.parallel.collectives import compressed_allreduce_mean
@@ -68,6 +69,10 @@ def make_dp_train_step(
         k_opt, k_col = jax.random.split(jax.random.fold_in(key, 0x0FF1CE))
         x = cifar_data.augment(images_u8, k_aug)
         x = cifar_data.normalize(x)
+        # packed weights: replicated uint8 codes -> fp32 view (identity
+        # otherwise); the re-encode below uses the shared k_opt, so every
+        # replica stores bit-identical codes
+        in_params = decode_params(state.params, optim_comp)
 
         def loss_fn(params, telemetry):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -89,11 +94,11 @@ def make_dp_train_step(
         if tel_tpl is not None:
             (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True
-            )(state.params, tel_tpl)
+            )(in_params, tel_tpl)
         else:
             (loss, (logits, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
-            )(state.params, None)
+            )(in_params, None)
             tel_grads = None
 
         if grad_allreduce_bits is None:
@@ -105,9 +110,9 @@ def make_dp_train_step(
         # BN running stats: average local updates like synced BN-lite
         batch_stats = jax.lax.pmean(mut.get("batch_stats", state.batch_stats), "data")
 
-        exempt = norm_param_mask(state.params)
+        exempt = norm_param_mask(in_params)
         params, opt_state, opt_metrics = compressed_optimizer_step(
-            spec, state.params, grads, state.opt_state, k_opt, optim_comp,
+            spec, in_params, grads, state.opt_state, k_opt, optim_comp,
             weight_exempt=exempt,
         )
         new_state = TrainState(state.step + 1, params, batch_stats, opt_state)

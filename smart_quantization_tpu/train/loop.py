@@ -158,11 +158,12 @@ class Trainer:
     def build_train_step(self, state: TrainState | None = None):
         tel_tpl = self._telemetry_template()
         self._bwd_tel_active = tel_tpl is not None
-        if self.optim_comp.packed_weights and self.mesh is not None:
+        if self.optim_comp.packed_weights and self._fsdp_active():
             raise NotImplementedError(
-                "--packed_weights is single-chip for now; the DP/FSDP paths "
-                "shard fp32 params (FSDP already moves quantized int8 "
-                "payloads over the mesh instead)"
+                "--packed_weights composes with single-chip and --dp "
+                "(replicated codes); under --fsdp the params are already "
+                "sharded N-ways and travel as quantized int8 all-gather "
+                "payloads"
             )
         if self.optim_comp.packed_momentum and self._fsdp_active():
             # per-shard encode would give shard-local (mean, std) scalars

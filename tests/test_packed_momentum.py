@@ -379,8 +379,9 @@ class TestPackedWeights:
 
 
 def test_packed_momentum_under_dp_mesh():
-    """packed momentum composes with the DP shard_map path: uint8 state is
-    replicated; shared optimizer keys keep replicas bit-identical."""
+    """packed momentum AND packed weights compose with the DP shard_map
+    path: uint8 state/params are replicated; shared optimizer keys keep
+    replicas bit-identical."""
     from smart_quantization_tpu.data.cifar import CIFAR10Data
     from smart_quantization_tpu.inject.tap import TapConfig
     from smart_quantization_tpu.models.tiny import TinyCNN
@@ -399,7 +400,9 @@ def test_packed_momentum_under_dp_mesh():
     trainer = Trainer(
         model, data, spec,
         tap_cfg=tap,
-        optim_comp=OptimizerCompression(compressor=comp, packed_momentum=True),
+        optim_comp=OptimizerCompression(
+            compressor=comp, packed_momentum=True, packed_weights=True
+        ),
         config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
                            limit_val_batches=1),
         logger=MetricLogger(None),
@@ -409,6 +412,14 @@ def test_packed_momentum_under_dp_mesh():
     assert int(state.step) == 2
     leaves = _momentum_leaves(state.opt_state)
     assert leaves and all(isinstance(l, SmaQCodes) for l in leaves)
+    packed_params = [
+        l for l in jax.tree.leaves(
+            state.params, is_leaf=lambda l: isinstance(l, SmaQCodes)
+        ) if isinstance(l, SmaQCodes)
+    ]
+    assert packed_params
+    val = trainer.evaluate(state)
+    assert np.isfinite(val["val_loss"])
 
 
 def test_packed_momentum_bert_loop():
