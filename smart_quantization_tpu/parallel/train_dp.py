@@ -63,6 +63,9 @@ def make_dp_train_step(
         tel_tpl = None
 
     def local_step(state: TrainState, images_u8, labels, key):
+        # per-step randomness from the constant base key + on-device step
+        # counter (no host-side key split per step)
+        key = jax.random.fold_in(key, state.step)
         dev = jax.lax.axis_index("data")
         k_aug, k_fwd = jax.random.split(jax.random.fold_in(key, dev))
         # shared (not device-folded) keys so replicated params stay identical

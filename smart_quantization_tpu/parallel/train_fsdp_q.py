@@ -217,6 +217,9 @@ def make_fsdp_q_train_step(
         return jax.tree.unflatten(treedef, out)
 
     def local_step(state: TrainState, images_u8, labels, key):
+        # per-step randomness from the constant base key + on-device step
+        # counter (no host-side key split per step)
+        key = jax.random.fold_in(key, state.step)
         gidx = jax.lax.axis_index("data") * fsdp_size + jax.lax.axis_index("fsdp")
         k_aug, k_fwd = jax.random.split(jax.random.fold_in(key, gidx))
         # shared across devices: optimizer + gather keys (replicas identical)

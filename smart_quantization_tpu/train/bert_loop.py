@@ -117,6 +117,9 @@ class BertTrainer:
         tel_tpl = self._telemetry_template()
 
         def train_step(state: TrainState, batch, key):
+            # per-step randomness from the constant base key + on-device
+            # step counter (no host-side key split per step)
+            key = jax.random.fold_in(key, state.step)
             k_fwd, k_drop, k_opt, k_loss = jax.random.split(key, 4)
             return self._step_body(
                 state, batch, k_fwd, k_drop, k_opt, k_loss, tel_tpl,
@@ -142,6 +145,7 @@ class BertTrainer:
 
         def local_step(state: TrainState, batch, key):
             dev = jax.lax.axis_index("data")
+            key = jax.random.fold_in(key, state.step)
             k_fwd, k_drop = jax.random.split(jax.random.fold_in(key, dev))
             # shared keys: replicated params must stay bit-identical
             k_opt, k_col, k_loss = jax.random.split(
@@ -286,7 +290,7 @@ class BertTrainer:
                     and bi >= self.cfg.limit_train_batches
                 ):
                     break
-                key, k_step = jax.random.split(key)
+
                 device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -296,7 +300,7 @@ class BertTrainer:
                         k: jax.device_put(v, bsh)
                         for k, v in device_batch.items()
                     }
-                state, metrics = self._train_step(state, device_batch, k_step)
+                state, metrics = self._train_step(state, device_batch, key)
                 step += 1
                 pending.append((step, metrics))
                 if step % self.cfg.log_every == 0:

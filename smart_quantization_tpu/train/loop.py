@@ -60,6 +60,10 @@ class TrainConfig:
     # jax.profiler trace dir (the reference's --profiler advanced role)
     profile_dir: str | None = None
     profile_steps: int = 10
+    # K training steps per host->device dispatch (lax.scan over K batches).
+    # The relay backend costs a few RPC round trips per call, which dominates
+    # small-model step time; K>1 amortizes it.  Single-chip only.
+    steps_per_call: int = 1
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -96,6 +100,7 @@ class Trainer:
         self.logger = logger or MetricLogger(None)
         self.ratio_acc = RatioAccumulator()
         self._train_step = None
+        self._multi_train_step = None
         self._eval_step = None
         self.nan_terminated = False
         self._bwd_tel_active = False
@@ -220,6 +225,11 @@ class Trainer:
         def train_step(state: TrainState, images_u8, labels, key):
             from smart_quantization_tpu.optim.compressed import decode_params
 
+            # per-step randomness derived ON DEVICE from the constant base
+            # key + the in-state step counter: the host loop never splits
+            # keys (each host-side split is one extra RPC dispatch per step
+            # through the relay backend)
+            key = jax.random.fold_in(key, state.step)
             k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
             x = cifar_data.augment(images_u8, k_aug)
             x = cifar_data.normalize(x)
@@ -296,6 +306,22 @@ class Trainer:
                     )
             return new_state, metrics
 
+        if self.cfg.steps_per_call > 1:
+            # K steps per dispatch: the relay backend costs a few RPC round
+            # trips per host->device call, which dominates small-model step
+            # time; lax.scan over K pre-uploaded batches amortizes it.
+            # Composes with the on-device key derivation (each scanned step
+            # folds its own state.step).
+            def multi_step(state: TrainState, images_u8, labels, key):
+                def body(st, xs):
+                    im, lb = xs
+                    return train_step(st, im, lb, key)
+
+                return jax.lax.scan(body, state, (images_u8, labels))
+
+            self._multi_train_step = jax.jit(multi_step, donate_argnums=(0,))
+        else:
+            self._multi_train_step = None
         return jax.jit(train_step, donate_argnums=(0,))
 
     def build_eval_step(self):
@@ -348,9 +374,13 @@ class Trainer:
         if self.cfg.profile_dir:
             jax.profiler.start_trace(self.cfg.profile_dir)
             profiling = True
+        spc = self.cfg.steps_per_call
+        if spc > 1 and self.mesh is not None:
+            raise ValueError("steps_per_call > 1 is single-chip only")
         for epoch in range(self.cfg.epochs):
             t0 = time.time()
-            pending = []  # (step, metrics) not yet synced
+            pending = []  # (last_step, n_substeps, metrics) not yet synced
+            group: list = []  # host batches awaiting a K-step dispatch
             for bi, (images, labels) in enumerate(
                 self.data.train_batches(self.cfg.seed + epoch)
             ):
@@ -359,19 +389,43 @@ class Trainer:
                     and bi >= self.cfg.limit_train_batches
                 ):
                     break
-                key, k_step = jax.random.split(key)
-                images, labels = self._place_batch(images, labels)
-                state, metrics = self._train_step(state, images, labels, k_step)
-                step += 1
+                if spc > 1:
+                    group.append((np.asarray(images), np.asarray(labels)))
+                    if len(group) < spc:
+                        continue
+                    imgs = jnp.asarray(np.stack([g[0] for g in group]))
+                    lbls = jnp.asarray(np.stack([g[1] for g in group]))
+                    group = []
+                    # one dispatch runs K scanned steps; metrics come back
+                    # with a leading K axis
+                    state, metrics = self._multi_train_step(
+                        state, imgs, lbls, key
+                    )
+                    step += spc
+                    pending.append((step, spc, metrics))
+                else:
+                    images, labels = self._place_batch(images, labels)
+                    # constant base key: the step derives per-step randomness
+                    # from state.step on device (no host-side split per step)
+                    state, metrics = self._train_step(
+                        state, images, labels, key
+                    )
+                    step += 1
+                    pending.append((step, 1, metrics))
                 if profiling and step >= profile_end:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
                     profiling = False
-                pending.append((step, metrics))
-                if step % self.cfg.log_every == 0:
+                if step % self.cfg.log_every < (spc if spc > 1 else 1):
                     if self._drain(pending):
                         return state  # NaN termination
                     pending = []
+            # leftover batches smaller than a K-group run singly
+            for im, lb in group:
+                images, labels = self._place_batch(im, lb)
+                state, metrics = self._train_step(state, images, labels, key)
+                step += 1
+                pending.append((step, 1, metrics))
             if self._drain(pending):
                 return state
 
@@ -387,9 +441,21 @@ class Trainer:
         return state
 
     def _drain(self, pending) -> bool:
-        """Sync pending metrics; returns True if training must stop (NaN)."""
-        for s, m in pending:
+        """Sync pending metrics; returns True if training must stop (NaN).
+
+        Entries are ``(last_step, n_substeps, metrics)``; K-step dispatches
+        deliver metrics with a leading K axis, sliced on host here."""
+        expanded = []
+        for last, n, m in pending:
             host = {k: np.asarray(v) for k, v in m.items()}
+            if n == 1:
+                expanded.append((last, host))
+            else:
+                for i in range(n):
+                    expanded.append(
+                        (last - n + 1 + i, {k: v[i] for k, v in host.items()})
+                    )
+        for s, host in expanded:
             scalars = {
                 k: float(v) for k, v in host.items() if not k.startswith("_ratio/")
             }

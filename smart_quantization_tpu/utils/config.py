@@ -138,6 +138,12 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "TPU — a TPU-native extension over the reference",
     )
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--steps_per_call", type=int, default=1,
+        help="train K steps per host dispatch (lax.scan over K batches); "
+             "amortizes per-call RPC latency on relayed TPU backends "
+             "(single-chip only)",
+    )
     parser.add_argument("--checkpoint_dir", type=str)
     parser.add_argument(
         "--resume_from", type=str,

@@ -65,6 +65,7 @@ def main(argv=None):
         limit_val_batches=args.limit_val_batches,
         seed=args.seed,
         measure_average_grad_norm=args.measure_average_grad_norm,
+        steps_per_call=args.steps_per_call,
     )
     logger = MetricLogger(args.logdir, args.name)
     mesh = None
