@@ -352,13 +352,16 @@ class BertTrainer:
                 break
             device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             p, loss = self._eval_step(state, device_batch)
-            preds.append(np.asarray(p))
+            # stay on device; fetch once below (each device->host read is a
+            # blocking ~30 ms RPC on the relay backend)
+            preds.append(p)
             labels.append(np.asarray(batch["labels"]))
-            losses.append(float(loss))
+            losses.append(loss)
         if not preds:
             return {}
-        preds = np.concatenate(preds)
+        preds = np.asarray(jnp.concatenate(preds))
         labels = np.concatenate(labels)
+        losses = np.asarray(jnp.stack(losses))
         out = {"val_loss": float(np.mean(losses))}
         out.update(
             {f"val_{k}": v for k, v in glue_metrics(self.task, preds, labels).items()}

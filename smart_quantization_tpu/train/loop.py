@@ -489,7 +489,10 @@ class Trainer:
         return images, labels
 
     def evaluate(self, state: TrainState) -> dict[str, float]:
-        losses, correct, count = [], 0.0, 0
+        # keep per-batch results on device and fetch ONCE at the end: each
+        # device->host scalar read is a blocking ~30 ms RPC on the relay
+        # backend, and per-batch float() calls were dominating epoch time
+        losses, corrects, count = [], [], 0
         for bi, (images, labels) in enumerate(self.data.val_batches()):
             if (
                 self.cfg.limit_val_batches is not None
@@ -498,11 +501,13 @@ class Trainer:
                 break
             images, labels = self._place_batch(images, labels)
             loss, c = self._eval_step(state, images, labels)
-            losses.append(float(loss))
-            correct += float(c)
+            losses.append(loss)
+            corrects.append(c)
             count += len(labels)
         if count == 0:
             return {}
+        losses = np.asarray(jnp.stack(losses))
+        correct = float(np.sum(np.asarray(jnp.stack(corrects))))
         return {
             "val_loss": float(np.mean(losses)),
             "val_accuracy": correct / count,
