@@ -67,16 +67,29 @@ def _load_cifar100(root: str):
 
 
 def _synthetic(num_classes: int, n_train: int = 2048, n_test: int = 512):
-    """Deterministic class-separable synthetic CIFAR stand-in (offline dev)."""
+    """Deterministic class-separable synthetic CIFAR stand-in (offline dev).
+
+    Env knobs (experiments only; defaults keep tests byte-stable):
+    ``SMAQ_SYNTH_TRAIN_N`` / ``SMAQ_SYNTH_TEST_N`` resize the splits;
+    ``SMAQ_SYNTH_SHIFT`` sets the per-class mean shift in pixel units
+    (default ``128 // (num_classes-1)``) — smaller shifts make the task
+    harder, which the encoder-sweep experiment uses so that encoders can
+    actually separate (a trivially easy task saturates under any encoder).
+    """
+    n_train = int(os.environ.get("SMAQ_SYNTH_TRAIN_N", n_train))
+    n_test = int(os.environ.get("SMAQ_SYNTH_TEST_N", n_test))
+    shift_step = int(
+        os.environ.get(
+            "SMAQ_SYNTH_SHIFT", 128 // max(num_classes - 1, 1)
+        )
+    )
     rng = np.random.RandomState(0)
 
     def make(n):
         y = rng.randint(0, num_classes, size=n).astype(np.int32)
         x = rng.randint(0, 256, size=(n, 32, 32, 3)).astype(np.uint8)
         # plant a class-dependent mean shift so accuracy can actually improve
-        shift = (y[:, None, None, None] * (128 // max(num_classes - 1, 1))).astype(
-            np.uint8
-        )
+        shift = (y[:, None, None, None] * shift_step).astype(np.uint8)
         x = ((x.astype(np.int32) + shift) // 2).astype(np.uint8)
         return x, y
 
