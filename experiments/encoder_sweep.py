@@ -124,9 +124,20 @@ def main():
         state = trainer.fit()
         val = trainer.evaluate(state)
         ratios = trainer.ratio_acc.summary()
+        # tail stability: constant-lr full-coverage runs oscillate (the
+        # reference trains 250 epochs at lr 0.1 with no scheduler,
+        # scripts/train.ps1); the tail mean/min separate encoders that a
+        # single final-epoch read-out would conflate
+        accs = [h["val_accuracy"] for h in logger.history]
+        tail = accs[-(max(len(accs) // 3, 1)):]
         results[enc] = {
             "val_accuracy": val.get("val_accuracy"),
             "val_loss": val.get("val_loss"),
+            "tail_mean_accuracy": round(sum(tail) / len(tail), 4) if tail else None,
+            "tail_min_accuracy": round(min(tail), 4) if tail else None,
+            "tail_frac_below_half": (
+                round(sum(a < 0.5 for a in tail) / len(tail), 4) if tail else None
+            ),
             "nan_terminated": trainer.nan_terminated,
             "compression_ratio": round(ratios.get("compression_ratio", 1.0), 3),
             "wall_s": round(time.time() - t0, 1),
@@ -138,12 +149,13 @@ def main():
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)  # checkpoint after every encoder
 
-    print("\nencoder            val_acc   ratio   diverged")
+    print("\nencoder            val_acc  tail_mean   ratio   diverged")
     for enc, r in results.items():
         if enc.startswith("_"):
             continue
         acc = r["val_accuracy"]
         print(f"{enc:10s} {acc if acc is None else round(acc, 4)!s:>12} "
+              f"{r['tail_mean_accuracy']!s:>10} "
               f"{r['compression_ratio']:>7} {r['nan_terminated']!s:>10}")
 
 

@@ -34,7 +34,13 @@ TAGS = (
 
 
 class SizeStats(NamedTuple):
-    """Per-call compressed-size accounting, in bits (traced f32 scalars)."""
+    """Per-call compressed-size accounting, in bits (traced f32 scalars).
+
+    Caveat: when the SmaQ compressor is built with ``measure_sizes=False``
+    (the CLI default without --measure_compression_ratio,
+    utils/config.py::build_components), the fused kernel skips the in-kernel
+    outlier count and ``new_bits`` is a static all-main-bucket floor, not a
+    measurement — only the ratio-gated paths should consume it then."""
 
     orig_bits: jax.Array
     new_bits: jax.Array  # includes overhead

@@ -109,16 +109,20 @@ def compression_tap(
 
     identity_stats = SizeStats.of(x.size, 32, 32)
 
+    # named_scope regions attribute quantizer time inside profiler traces —
+    # the reference's Globals.profiler.profile("smaq") role (smart.py:119)
     def fwd_value(x):
         if compress_forward:
-            y, s = compressor(x, key_fwd, gamma=gamma, beta=beta)
+            with jax.named_scope("compress/forward"):
+                y, s = compressor(x, key_fwd, gamma=gamma, beta=beta)
         else:
             y, s = x, identity_stats
         return y, (s.orig_bits, s.new_bits)
 
     def bwd_cotangent(g):
         if compress_backward:
-            g, s = compressor(g, key_bwd)
+            with jax.named_scope("compress/backward"):
+                g, s = compressor(g, key_bwd)
         else:
             s = None
         return g, s

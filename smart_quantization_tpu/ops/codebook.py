@@ -103,6 +103,16 @@ def smaq_encode(
             f"{codebook_size(params)} for {params.num_bits_main}/"
             f"{params.num_bits_outlier} bits"
         )
+    if x.size < params.min_size:
+        # the fake path passes sub-min_size tensors through untouched
+        # (smart.py:123-128); encoding one here would silently quantize what
+        # the fake path leaves alone — callers must keep such leaves fp32
+        # (as optim/compressed._encode_tree does)
+        raise ValueError(
+            f"tensor of {x.size} elements is below min_size="
+            f"{params.min_size}: the fake-quant path passes it through, so "
+            "store it uncompressed instead of encoding"
+        )
     flat = x.astype(jnp.float32)
     if key is not None:
         k_stats, k_round = jax.random.split(key)
@@ -150,7 +160,31 @@ def smaq_decode(
     (``q / scale - shift``, then ``* std + mean``, smart.py:171-179) so the
     decoded tensor equals what ``smaq_quantize_dequantize`` would have
     returned for the same rounding draws.
+
+    Stats may be scalars (single-chip layout), shape (1,) (one shard's slice
+    of the FSDP layout, inside shard_map), or shape (k,) with k > 1 — the
+    GLOBAL FSDP layout, where the codes hold k independent per-shard
+    codebooks along the fsdp shard axis; that case decodes blockwise (used
+    by eval/checkpoint paths that see the unsharded state).
     """
+    mean = jnp.asarray(packed.mean)
+    if mean.ndim == 1 and mean.shape[0] > 1:
+        from smart_quantization_tpu.parallel.mesh import fsdp_shard_axis
+
+        k = mean.shape[0]
+        axis = fsdp_shard_axis(packed.codes.shape, k)
+        pre = packed.codes.shape[:axis]
+        la = packed.codes.shape[axis] // k
+        post = packed.codes.shape[axis + 1:]
+        blocks = packed.codes.reshape(pre + (k, la) + post)
+        blocks = jnp.moveaxis(blocks, len(pre), 0)
+        y = jax.vmap(
+            lambda c, m, s: smaq_decode(
+                SmaQCodes(c, m, s), params,
+                all_positive=all_positive, dtype=dtype,
+            )
+        )(blocks, packed.mean, packed.std)
+        return jnp.moveaxis(y, 0, len(pre)).reshape(packed.codes.shape)
     t = params.main_std_dev_threshold
     main_max = 2 ** (params.num_bits_main - 2) - 1
     h = outlier_side_steps(params)

@@ -149,7 +149,12 @@ def _kernel(
         )
         # stochastic round as floor(q + u): P(up) = frac(q), identical in
         # distribution to the floored+(frac>u) form but 3 fewer VPU ops on a
-        # kernel that is VPU-bound at the bandwidth ceiling
+        # kernel that is VPU-bound at the bandwidth ceiling.  Caveat: the
+        # equivalence needs q + u exact in f32; for |q| >= ~2^23 (unclamped
+        # outliers thousands of sigma beyond t_out) the add can round across
+        # an integer boundary — including nudging exact grid points — which
+        # the exact-frac compare never did.  Unreachable for sane std/bit
+        # configs (|q| < 2^23 needs |z| < ~6e4 sigma at 6/8 bits).
         q = jnp.floor(q + probs)
     else:
         q = jnp.trunc(q)

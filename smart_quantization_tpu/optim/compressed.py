@@ -88,14 +88,17 @@ def init_opt_state(
     params: Any,
     compression: OptimizerCompression,
     key: jax.Array | None = None,
+    fsdp_size: int | None = None,
 ) -> Any:
     """Build the initial optimizer state honoring the compression config.
 
     With ``packed_momentum``, the momentum buffers are stored as uint8
     codebook codes from step zero (the zero buffers encode/decode exactly).
-    Returns a ``CompressedOptState`` wrapper only when the full-precision
-    master accumulator is requested, matching what
-    :func:`compressed_optimizer_step` accepts either way.
+    ``fsdp_size`` > 1 lays the packed state out shard-locally (stats as
+    ``(fsdp_size,)`` arrays, one codebook per shard — see
+    :func:`_encode_tree_fsdp`).  Returns a ``CompressedOptState`` wrapper
+    only when the full-precision master accumulator is requested, matching
+    what :func:`compressed_optimizer_step` accepts either way.
     """
     inner = spec.tx.init(params)
     if (
@@ -108,9 +111,10 @@ def init_opt_state(
         k = key if key is not None else jax.random.key(0)
 
         def enc(tree, all_positive):
-            out, _, _ = _encode_tree(
-                tree, jax.random.fold_in(k, int(all_positive)), p
-            )
+            kk = jax.random.fold_in(k, int(all_positive))
+            if fsdp_size and fsdp_size > 1:
+                return _encode_tree_fsdp(tree, kk, p, fsdp_size)
+            out, _, _ = _encode_tree(tree, kk, p)
             return out
 
         inner = _map_momentum_state(inner, spec.kind, enc)
@@ -247,7 +251,8 @@ def packed_smaq_params(compression: OptimizerCompression) -> SmaQParams:
     return params
 
 
-def _encode_tree(tree, key, params: SmaQParams, *, skip_tree=None):
+def _encode_tree(tree, key, params: SmaQParams, *, skip_tree=None,
+                 stats_rank1=False):
     """Encode every large-enough leaf to uint8 codes; returns
     (tree, orig_bits, new_bits) with REAL (not simulated) sizes.
 
@@ -255,7 +260,11 @@ def _encode_tree(tree, key, params: SmaQParams, *, skip_tree=None):
     so packed and fake-quant runs draw identical rounding bits.  Leaves
     below ``min_size`` stay fp32, mirroring the fake path's passthrough
     (smart.py:123-128); ``skip_tree`` leaves stay fp32 and are excluded from
-    the size totals, mirroring ``_quantize_tree``'s skip."""
+    the size totals, mirroring ``_quantize_tree``'s skip.
+
+    ``stats_rank1`` stores mean/std as shape-(1,) arrays instead of scalars
+    — the FSDP layout, where each shard keeps its own codebook stats and the
+    per-shard (1,) rows stack into a mesh-global (fsdp,) array."""
     keys = tree_split(key, tree)
     totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
@@ -267,12 +276,67 @@ def _encode_tree(tree, key, params: SmaQParams, *, skip_tree=None):
             totals["new"] = totals["new"] + jnp.float32(leaf.size * 32)
             return leaf
         totals["new"] = totals["new"] + jnp.float32(leaf.size * 8 + 64)
-        return smaq_encode(leaf, k, params)
+        enc = smaq_encode(leaf, k, params)
+        if stats_rank1:
+            enc = SmaQCodes(enc.codes, enc.mean.reshape(1), enc.std.reshape(1))
+        return enc
 
     if skip_tree is None:
         skip_tree = jax.tree.map(lambda _: False, tree)
     out = jax.tree.map(one, tree, keys, skip_tree)
     return out, totals["orig"], totals["new"]
+
+
+def _encode_leaf_blocked(leaf, key, params: SmaQParams, fsdp_size: int,
+                         axis: int) -> SmaQCodes:
+    """Global-layout encode matching what ``fsdp_size`` shards produce inside
+    shard_map, bit-for-bit: split ``axis`` into contiguous blocks (exactly how
+    NamedSharding slices it), encode each block with the SAME key (every
+    shard folds the shared optimizer key identically), stack the per-block
+    stats as ``(fsdp_size,)`` arrays."""
+    pre = leaf.shape[:axis]
+    la = leaf.shape[axis] // fsdp_size
+    post = leaf.shape[axis + 1:]
+    blocks = leaf.reshape(pre + (fsdp_size, la) + post)
+    blocks = jnp.moveaxis(blocks, len(pre), 0)
+    enc = jax.vmap(lambda b: smaq_encode(b, key, params))(blocks)
+    codes = jnp.moveaxis(enc.codes, 0, len(pre)).reshape(leaf.shape)
+    return SmaQCodes(codes, enc.mean, enc.std)
+
+
+def _encode_tree_fsdp(tree, key, params: SmaQParams, fsdp_size: int, *,
+                      skip_tree=None):
+    """FSDP-layout packed encode of a GLOBAL (unplaced) tree.
+
+    Each fsdp-sharded leaf becomes shard-local codebooks — codes keep the
+    global shape, stats are ``(fsdp_size,)`` arrays sharded over 'fsdp' —
+    so the in-step shard_map re-encode (``_encode_tree(stats_rank1=True)``
+    on local shards) round-trips the same structure.  Replicated leaves get
+    rank-(1,) stats too, so every packed leaf under FSDP has rank-1 stats.
+    The min_size passthrough follows the LOCAL (per-shard) element count,
+    matching what the fake path's per-shard compressor call sees.
+
+    NOTE: the resulting layout (and any checkpoint of it) is specific to
+    this ``fsdp_size``."""
+    from smart_quantization_tpu.parallel.mesh import fsdp_shard_axis
+
+    keys = tree_split(key, tree)
+
+    def one(leaf, k, skip):
+        if skip:
+            return leaf
+        axis = fsdp_shard_axis(leaf.shape, fsdp_size)
+        local_n = leaf.size // fsdp_size if axis >= 0 else leaf.size
+        if local_n < params.min_size:
+            return leaf
+        if axis < 0:
+            enc = smaq_encode(leaf, k, params)
+            return SmaQCodes(enc.codes, enc.mean.reshape(1), enc.std.reshape(1))
+        return _encode_leaf_blocked(leaf, k, params, fsdp_size, axis)
+
+    if skip_tree is None:
+        skip_tree = jax.tree.map(lambda _: False, tree)
+    return jax.tree.map(one, tree, keys, skip_tree)
 
 
 def _decode_tree(tree, params: SmaQParams, all_positive: bool):
@@ -297,10 +361,15 @@ def compressed_optimizer_step(
     compression: OptimizerCompression,
     *,
     weight_exempt: Any = None,
+    packed_stats_rank1: bool = False,
 ):
     """One full optimizer step with compression; returns
     ``(params, opt_state, metrics)`` where metrics maps
-    ``optimizer_{grad,weight,momentum}`` tags to (orig_bits, new_bits)."""
+    ``optimizer_{grad,weight,momentum}`` tags to (orig_bits, new_bits).
+
+    ``packed_stats_rank1``: store packed-leaf stats as (1,) arrays — set by
+    the FSDP step, where this runs on local shards inside shard_map and the
+    per-shard stats rows stack into the mesh-global (fsdp,) layout."""
     metrics: dict[str, jax.Array] = {}
     comp = compression.compressor
 
@@ -337,7 +406,10 @@ def compressed_optimizer_step(
             grads = jax.tree.map(
                 lambda g: g * compression.grad_scaling, grads
             )
-        grads, o, n = _quantize_tree(grads, k_grad, comp)
+        # named_scope regions attribute quantizer time in profiler traces
+        # (the reference's Globals.profiler.profile("smaq"), smart.py:119)
+        with jax.named_scope("compress/optimizer_grad"):
+            grads, o, n = _quantize_tree(grads, k_grad, comp)
         metrics["optimizer_grad"] = jnp.stack([o, n])
 
     # with the accumulator, optimizer math runs on the fp32 master
@@ -350,19 +422,22 @@ def compressed_optimizer_step(
     params = new_params
 
     if compression.active and compression.compress_weights:
-        if compression.packed_weights:
-            # persist non-exempt weights as uint8 codes (REAL storage); the
-            # next step's decode equals the fake path's stored f32 bitwise
-            params, o, n = _encode_tree(
-                params,
-                k_weight,
-                packed_smaq_params(compression),
-                skip_tree=weight_exempt,
-            )
-        else:
-            params, o, n = _quantize_tree(
-                params, k_weight, comp, skip_tree=weight_exempt
-            )
+        with jax.named_scope("compress/optimizer_weight"):
+            if compression.packed_weights:
+                # persist non-exempt weights as uint8 codes (REAL storage);
+                # the next step's decode equals the fake path's stored f32
+                # bitwise
+                params, o, n = _encode_tree(
+                    params,
+                    k_weight,
+                    packed_smaq_params(compression),
+                    skip_tree=weight_exempt,
+                    stats_rank1=packed_stats_rank1,
+                )
+            else:
+                params, o, n = _quantize_tree(
+                    params, k_weight, comp, skip_tree=weight_exempt
+                )
         metrics["optimizer_weight"] = jnp.stack([o, n])
 
     if (
@@ -377,7 +452,8 @@ def compressed_optimizer_step(
             # actual on-device footprint, not the simulated data-dependent one
             def quantize_momentum(tree, all_positive):
                 out, o, n = _encode_tree(
-                    tree, jax.random.fold_in(k_mom, int(all_positive)), p_params
+                    tree, jax.random.fold_in(k_mom, int(all_positive)),
+                    p_params, stats_rank1=packed_stats_rank1,
                 )
                 totals["orig"] = totals["orig"] + o
                 totals["new"] = totals["new"] + n
@@ -395,7 +471,10 @@ def compressed_optimizer_step(
                 totals["new"] = totals["new"] + n
                 return out
 
-        opt_state = _map_momentum_state(opt_state, spec.kind, quantize_momentum)
+        with jax.named_scope("compress/optimizer_momentum"):
+            opt_state = _map_momentum_state(
+                opt_state, spec.kind, quantize_momentum
+            )
         metrics["optimizer_momentum"] = jnp.stack([totals["orig"], totals["new"]])
 
     if wrapped:
@@ -425,17 +504,25 @@ def encode_params(
     key: jax.Array | None = None,
     *,
     exempt: Any = None,
+    fsdp_size: int | None = None,
 ) -> Any:
     """Encode fresh fp32 params into packed storage (for init/restore).
 
     Deviation from the fake path (documented on ``packed_weights``): initial
     params are quantized here instead of after the first optimizer step.
+    ``fsdp_size`` > 1 produces the shard-local FSDP layout
+    (:func:`_encode_tree_fsdp`).
     """
     if not compression.packed_weights:
         return params
     if exempt is None:
         exempt = norm_param_mask(params)
     k = key if key is not None else jax.random.key(0)
+    if fsdp_size and fsdp_size > 1:
+        return _encode_tree_fsdp(
+            params, k, packed_smaq_params(compression), fsdp_size,
+            skip_tree=exempt,
+        )
     out, _, _ = _encode_tree(
         params, k, packed_smaq_params(compression), skip_tree=exempt
     )

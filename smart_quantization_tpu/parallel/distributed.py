@@ -37,12 +37,18 @@ def init_multihost(
         or os.environ.get("SMAQ_MULTIHOST") == "1"
         or int(os.environ.get("TPU_NUM_PROCESSES", "1") or 1) > 1
     )
-    if want_init and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if want_init:
+        # NOTE: must run before anything touches a backend (even
+        # jax.process_count() would initialize one and poison this call)
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except RuntimeError as e:
+            if "already initialized" not in str(e):
+                raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

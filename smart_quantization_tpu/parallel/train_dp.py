@@ -8,23 +8,22 @@ shard, gradients are exchanged with the *quantized* all-reduce
 the epilogue — and the optimizer step (including weight/grad/momentum
 compression) runs replicated.
 
+Model-agnostic via the Task adapter (train/task.py): the reference runs BERT
+under the exact same DDP as the image models (README.md:58), so this step
+takes any input pytree and task-defined prep/loss/metrics.
+
 The stochastic-rounding keys for the optimizer are identical on every device
-(so replicated params stay bit-identical); only the augmentation/forward keys
+(so replicated params stay bit-identical); only the data-prep/forward keys
 are folded with the device index.
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smart_quantization_tpu.data import cifar as cifar_data
-from smart_quantization_tpu.inject.tap import TapConfig
 from smart_quantization_tpu.optim.compressed import (
     OptimizerCompression,
     OptimizerSpec,
@@ -33,8 +32,8 @@ from smart_quantization_tpu.optim.compressed import (
     norm_param_mask,
 )
 from smart_quantization_tpu.parallel.collectives import compressed_allreduce_mean
-from smart_quantization_tpu.train.loop import cross_entropy
 from smart_quantization_tpu.train.state import TrainState
+from smart_quantization_tpu.train.task import ImageClassificationTask
 
 
 def make_dp_train_step(
@@ -43,11 +42,13 @@ def make_dp_train_step(
     optim_comp: OptimizerCompression,
     mesh: Mesh,
     *,
+    task=None,
     grad_allreduce_bits: int | None = 8,
     measure_ratio: bool = False,
     tel_tpl=None,
+    loss_compressor=None,
 ):
-    """Build a jitted DP train step: (state, images_u8, labels, key) ->
+    """Build a jitted DP train step: (state, inputs, labels, key) ->
     (state, metrics).  ``grad_allreduce_bits=None`` uses plain fp32 pmean
     (the reference-DDP-equivalent baseline).
 
@@ -56,22 +57,26 @@ def make_dp_train_step(
     reference's sum-reduced sizes, compress/base.py:8-18, across the whole
     DP group instead of per process).  ``tel_tpl`` (the zero 'telemetry'
     collection from model.init) additionally collects backward
-    (gradient-map) sizes via the telemetry-token trick (inject/tap.py)."""
+    (gradient-map) sizes via the telemetry-token trick (inject/tap.py).
+    ``loss_compressor``, when set, compresses the loss scalar
+    (models/base.py:114-116, tag "loss") with a device-shared key."""
+    task = task or ImageClassificationTask()
     if not measure_ratio:
         # telemetry grads are only consumed when ratios are measured; don't
         # differentiate w.r.t. the token collection for nothing
         tel_tpl = None
 
-    def local_step(state: TrainState, images_u8, labels, key):
+    def local_step(state: TrainState, inputs, labels, key):
         # per-step randomness from the constant base key + on-device step
         # counter (no host-side key split per step)
         key = jax.random.fold_in(key, state.step)
         dev = jax.lax.axis_index("data")
-        k_aug, k_fwd = jax.random.split(jax.random.fold_in(key, dev))
+        k_data, k_fwd = jax.random.split(jax.random.fold_in(key, dev))
         # shared (not device-folded) keys so replicated params stay identical
-        k_opt, k_col = jax.random.split(jax.random.fold_in(key, 0x0FF1CE))
-        x = cifar_data.augment(images_u8, k_aug)
-        x = cifar_data.normalize(x)
+        k_opt, k_col, k_loss = jax.random.split(
+            jax.random.fold_in(key, 0x0FF1CE), 3
+        )
+        x = task.prepare_train(inputs, k_data)
         # packed weights: replicated uint8 codes -> fp32 view (identity
         # otherwise); the re-encode below uses the shared k_opt, so every
         # replica stores bit-identical codes
@@ -86,12 +91,16 @@ def make_dp_train_step(
                 mutable.append("compression_stats")
             logits, mut = model.apply(
                 variables,
-                x,
+                *task.model_args(x),
                 train=True,
-                rngs={"compress": k_fwd},
+                rngs=task.train_rngs(k_fwd, k_data),
                 mutable=mutable,
             )
-            loss = cross_entropy(logits, labels)
+            loss = task.loss(logits, labels)
+            if loss_compressor is not None:
+                with jax.named_scope("compress/loss"):
+                    loss_q, _ = loss_compressor(loss[None], k_loss)
+                loss = loss_q[0]
             return loss, (logits, mut)
 
         if tel_tpl is not None:
@@ -119,11 +128,9 @@ def make_dp_train_step(
             weight_exempt=exempt,
         )
         new_state = TrainState(state.step + 1, params, batch_stats, opt_state)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        metrics = {
-            "train_loss": jax.lax.pmean(loss, "data"),
-            "train_accuracy": jax.lax.pmean(acc, "data"),
-        }
+        metrics = {"train_loss": jax.lax.pmean(loss, "data")}
+        for k, v in task.train_metrics(logits, labels).items():
+            metrics[k] = jax.lax.pmean(v, "data")
         if measure_ratio:
             from smart_quantization_tpu.train.metrics import fold_sown_stats
 
@@ -152,9 +159,12 @@ def make_dp_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def shard_batch(mesh: Mesh, images, labels):
+def shard_batch(mesh: Mesh, inputs, labels):
     s = NamedSharding(mesh, P("data"))
-    return jax.device_put(images, s), jax.device_put(labels, s)
+    return (
+        jax.tree.map(lambda x: jax.device_put(x, s), inputs),
+        jax.device_put(labels, s),
+    )
 
 
 def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:

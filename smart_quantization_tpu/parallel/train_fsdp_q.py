@@ -32,11 +32,11 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smart_quantization_tpu.data import cifar as cifar_data
 from smart_quantization_tpu.optim.compressed import (
     OptimizerCompression,
     OptimizerSpec,
     compressed_optimizer_step,
+    decode_params,
     norm_param_mask,
 )
 from smart_quantization_tpu.parallel.collectives import (
@@ -45,8 +45,8 @@ from smart_quantization_tpu.parallel.collectives import (
     compressed_reduce_scatter_rows,
 )
 from smart_quantization_tpu.parallel.mesh import fsdp_shard_axis, fsdp_spec
-from smart_quantization_tpu.train.loop import cross_entropy
 from smart_quantization_tpu.train.state import TrainState
+from smart_quantization_tpu.train.task import ImageClassificationTask
 
 
 def _shard_axes(tree, fsdp_size: int):
@@ -100,10 +100,12 @@ def make_fsdp_q_train_step(
     mesh: Mesh,
     state: TrainState,
     *,
+    task=None,
     grad_bits: int | None = 8,
     param_gather_bits: int | None = None,
     measure_ratio: bool = False,
     tel_tpl=None,
+    loss_compressor=None,
 ):
     """Build the jitted fused step for ``state``'s pytree structure.
 
@@ -112,8 +114,11 @@ def make_fsdp_q_train_step(
     ``param_gather_bits=None`` gathers parameters in their stored dtype.
     ``measure_ratio`` / ``tel_tpl``: compression-size telemetry, as in
     ``train_dp.make_dp_train_step`` (forward sown stats + backward
-    telemetry-token gradients, psum'd over the whole mesh).
+    telemetry-token gradients, psum'd over the whole mesh).  ``task`` makes
+    the step model-agnostic (train/task.py); ``loss_compressor`` compresses
+    the loss scalar with a device-shared key.
     """
+    task = task or ImageClassificationTask()
     if not measure_ratio:
         # telemetry grads are only consumed when ratios are measured; don't
         # differentiate w.r.t. the token collection for nothing
@@ -121,7 +126,12 @@ def make_fsdp_q_train_step(
     fsdp_size = mesh.shape["fsdp"]
     data_size = mesh.shape["data"]
     n_total = fsdp_size * data_size
-    param_axes = _shard_axes(state.params, fsdp_size)
+    # packed (uint8 codebook) params decode to plain fp32 leaves; gather /
+    # grad-exchange axes come from the DECODED template (identity otherwise)
+    dec_tpl = jax.eval_shape(
+        lambda pr: decode_params(pr, optim_comp), state.params
+    )
+    param_axes = _shard_axes(dec_tpl, fsdp_size)
     state_specs = state_spec_tree(mesh, state)
 
     # Bucketed exchanges: every sharded leaf is packed into ONE flat buffer
@@ -216,20 +226,22 @@ def make_fsdp_q_train_step(
                 off += l.size
         return jax.tree.unflatten(treedef, out)
 
-    def local_step(state: TrainState, images_u8, labels, key):
+    def local_step(state: TrainState, inputs, labels, key):
         # per-step randomness from the constant base key + on-device step
         # counter (no host-side key split per step)
         key = jax.random.fold_in(key, state.step)
         gidx = jax.lax.axis_index("data") * fsdp_size + jax.lax.axis_index("fsdp")
-        k_aug, k_fwd = jax.random.split(jax.random.fold_in(key, gidx))
+        k_data, k_fwd = jax.random.split(jax.random.fold_in(key, gidx))
         # shared across devices: optimizer + gather keys (replicas identical)
-        k_opt, k_col, k_gather = jax.random.split(
-            jax.random.fold_in(key, 0x0FF1CE), 3
+        k_opt, k_col, k_gather, k_loss = jax.random.split(
+            jax.random.fold_in(key, 0x0FF1CE), 4
         )
-        x = cifar_data.augment(images_u8, k_aug)
-        x = cifar_data.normalize(x)
+        x = task.prepare_train(inputs, k_data)
 
-        full_params = gather_params(state.params, k_gather)
+        # packed weights: local uint8 shard codes -> fp32 view (identity
+        # otherwise); shard-local stats, so the decode needs no collective
+        in_params = decode_params(state.params, optim_comp)
+        full_params = gather_params(in_params, k_gather)
 
         def loss_fn(params, telemetry):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -239,10 +251,15 @@ def make_fsdp_q_train_step(
             if measure_ratio:
                 mutable.append("compression_stats")
             logits, mut = model.apply(
-                variables, x, train=True,
-                rngs={"compress": k_fwd}, mutable=mutable,
+                variables, *task.model_args(x), train=True,
+                rngs=task.train_rngs(k_fwd, k_data), mutable=mutable,
             )
-            return cross_entropy(logits, labels), (logits, mut)
+            loss = task.loss(logits, labels)
+            if loss_compressor is not None:
+                with jax.named_scope("compress/loss"):
+                    loss_q, _ = loss_compressor(loss[None], k_loss)
+                loss = loss_q[0]
+            return loss, (logits, mut)
 
         if tel_tpl is not None:
             (loss, (logits, mut)), (grads, tel_grads) = jax.value_and_grad(
@@ -259,17 +276,17 @@ def make_fsdp_q_train_step(
             mut.get("batch_stats", state.batch_stats), ("data", "fsdp")
         )
 
-        exempt = norm_param_mask(state.params)
+        exempt = norm_param_mask(in_params)
         params, opt_state, opt_metrics = compressed_optimizer_step(
-            spec, state.params, grad_shards, state.opt_state, k_opt,
+            spec, in_params, grad_shards, state.opt_state, k_opt,
             optim_comp, weight_exempt=exempt,
+            # packed stats live as (1,) rows per shard -> (fsdp,) globally
+            packed_stats_rank1=True,
         )
         new_state = TrainState(state.step + 1, params, batch_stats, opt_state)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-        metrics = {
-            "train_loss": jax.lax.pmean(loss, ("data", "fsdp")),
-            "train_accuracy": jax.lax.pmean(acc, ("data", "fsdp")),
-        }
+        metrics = {"train_loss": jax.lax.pmean(loss, ("data", "fsdp"))}
+        for k, v in task.train_metrics(logits, labels).items():
+            metrics[k] = jax.lax.pmean(v, ("data", "fsdp"))
         if measure_ratio:
             from smart_quantization_tpu.train.metrics import fold_sown_stats
 
@@ -299,6 +316,9 @@ def make_fsdp_q_train_step(
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def shard_batch(mesh: Mesh, images, labels):
+def shard_batch(mesh: Mesh, inputs, labels):
     s = NamedSharding(mesh, P(("data", "fsdp")))
-    return jax.device_put(images, s), jax.device_put(labels, s)
+    return (
+        jax.tree.map(lambda x: jax.device_put(x, s), inputs),
+        jax.device_put(labels, s),
+    )

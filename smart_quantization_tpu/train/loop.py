@@ -1,11 +1,15 @@
-"""The training loop: jitted train/eval steps + epoch driver.
+"""The training loop: jitted train/eval steps + epoch driver, for EVERY model
+family (ResNet/Inception on CIFAR, BERT on GLUE/IMDB — via a Task adapter).
 
 Plays the role of the reference's PyTorch-Lightning Trainer + BaseModule
 (/root/reference/smart_compress/models/base.py:42-180, util/train.py:74-219)
-as an explicit, functional TPU loop:
+as an explicit, functional TPU loop.  Like Lightning's single Trainer serving
+every LightningModule (util/train.py:169-195), one Trainer serves every
+model here; the model/data-specific pieces live in ``train/task.py``:
 
-- one jitted ``train_step(state, batch, key) -> (state, metrics)`` with
-  donated state;
+- one jitted ``train_step(state, inputs, labels, key) -> (state, metrics)``
+  with donated state (``inputs`` is the task's input pytree — an image batch
+  or a dict of token arrays);
 - optional loss compression (models/base.py:108-117, tag ``loss``);
 - the compressed optimizer step (weights/grads/momentum tags);
 - NaN termination by default (``terminate_on_nan=True``,
@@ -27,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from smart_quantization_tpu.compress.base import CompressorBase
-from smart_quantization_tpu.data import cifar as cifar_data
 from smart_quantization_tpu.inject.tap import TapConfig
 from smart_quantization_tpu.optim.compressed import (
     OptimizerCompression,
@@ -41,6 +44,12 @@ from smart_quantization_tpu.train.metrics import (
     merge_compression_metrics,
 )
 from smart_quantization_tpu.train.state import TrainState
+from smart_quantization_tpu.train.task import (
+    ImageClassificationTask,
+    cross_entropy,
+)
+
+__all__ = ["TrainConfig", "Trainer", "cross_entropy", "restore_checkpoint"]
 
 
 @dataclasses.dataclass
@@ -63,16 +72,15 @@ class TrainConfig:
     # K training steps per host->device dispatch (lax.scan over K batches).
     # The relay backend costs a few RPC round trips per call, which dominates
     # small-model step time; K>1 amortizes it.  Single-chip only.
+    # Tradeoff vs terminate_on_nan: a NaN inside a K-step scan is detected at
+    # the next drain, but the remaining K-1 substeps still execute and the
+    # returned state includes those post-NaN updates (with K=1 no committed
+    # state ever follows the NaN step).
     steps_per_call: int = 1
 
 
-def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    logp = jax.nn.log_softmax(logits)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
-
-
 class Trainer:
-    """Image-classification trainer (ResNet/Inception on CIFAR)."""
+    """Model-agnostic trainer; the Task adapter supplies the model family."""
 
     def __init__(
         self,
@@ -80,6 +88,7 @@ class Trainer:
         data,
         spec: OptimizerSpec,
         *,
+        task=None,
         tap_cfg: TapConfig | None = None,
         optim_comp: OptimizerCompression | None = None,
         loss_compressor: CompressorBase | None = None,
@@ -93,6 +102,7 @@ class Trainer:
         self.model = model
         self.data = data
         self.spec = spec
+        self.task = task or ImageClassificationTask()
         self.tap_cfg = tap_cfg
         self.optim_comp = optim_comp or OptimizerCompression(compressor=None)
         self.loss_compressor = loss_compressor
@@ -111,24 +121,42 @@ class Trainer:
         self.param_gather_bits = param_gather_bits
 
     # ---------------------------------------------------------------- init
-    def init_state(self, key: jax.Array) -> TrainState:
-        sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
-        k_param, k_comp = jax.random.split(key)
+    def init_state(self, key: jax.Array, param_overlay=None) -> TrainState:
+        """Build the initial TrainState.
+
+        ``param_overlay``: optional dict grafted over the fresh init (used to
+        load pretrained BERT encoder weights, reference models/bert.py:31-45).
+        """
+        sample = self.task.init_sample()
+        # three independent roles (ADVICE r2): model-init compression draws,
+        # optimizer-state encode, and packed-weight encode
+        k_param, k_comp, k_pack = jax.random.split(key, 3)
         variables = self.model.init(
-            {"params": k_param, "compress": k_comp}, sample, train=True
+            self.task.init_rngs(k_param, k_comp),
+            *self.task.model_args(sample),
+            train=True,
         )
         params = variables["params"]
+        if param_overlay is not None:
+            params = {**params, **param_overlay}
         batch_stats = variables.get("batch_stats", {})
+        # under FSDP, packed state is laid out shard-locally (one codebook
+        # per shard, stats as (fsdp,) rows — optim/compressed._encode_tree_fsdp)
+        fsdp_size = self.mesh.shape["fsdp"] if self._fsdp_active() else None
         if self.optim_comp.use_weight_accumulator or self.optim_comp.packed_momentum:
             from smart_quantization_tpu.optim.compressed import init_opt_state
 
-            opt_state = init_opt_state(self.spec, params, self.optim_comp)
+            opt_state = init_opt_state(
+                self.spec, params, self.optim_comp, fsdp_size=fsdp_size
+            )
         else:
             opt_state = self.spec.tx.init(params)
         if self.optim_comp.packed_weights:
             from smart_quantization_tpu.optim.compressed import encode_params
 
-            params = encode_params(params, self.optim_comp, k_comp)
+            params = encode_params(
+                params, self.optim_comp, k_pack, fsdp_size=fsdp_size
+            )
         return TrainState(jnp.int32(0), params, batch_stats, opt_state)
 
     def _fsdp_active(self) -> bool:
@@ -149,10 +177,13 @@ class Trainer:
             and self.tap_cfg.compress_backward
         ):
             return None
+        sample = self.task.init_sample()
         shapes = jax.eval_shape(
-            lambda rngs, x: self.model.init(rngs, x, train=True),
-            {"params": jax.random.key(0), "compress": jax.random.key(1)},
-            jnp.zeros((2, 32, 32, 3), jnp.float32),
+            lambda rngs, s: self.model.init(
+                rngs, *self.task.model_args(s), train=True
+            ),
+            self.task.init_rngs(jax.random.key(0), jax.random.key(1)),
+            sample,
         )
         tpl = jax.tree.map(
             lambda s: jnp.zeros(s.shape, s.dtype),
@@ -163,23 +194,7 @@ class Trainer:
     def build_train_step(self, state: TrainState | None = None):
         tel_tpl = self._telemetry_template()
         self._bwd_tel_active = tel_tpl is not None
-        if self.optim_comp.packed_weights and self._fsdp_active():
-            raise NotImplementedError(
-                "--packed_weights composes with single-chip and --dp "
-                "(replicated codes); under --fsdp the params are already "
-                "sharded N-ways and travel as quantized int8 all-gather "
-                "payloads"
-            )
-        if self.optim_comp.packed_momentum and self._fsdp_active():
-            # per-shard encode would give shard-local (mean, std) scalars
-            # (violating the replicated out-spec) and shard-local min_size
-            # decisions (violating the packed structure) — supported on
-            # single chip and the DP mesh, where state is replicated
-            raise NotImplementedError(
-                "--packed_momentum composes with single-chip and --dp; under "
-                "--fsdp the optimizer state is already sharded N-ways "
-                "(use that for memory scaling)"
-            )
+        task = self.task
         if self._fsdp_active():
             # fused FSDP: params/opt-state sharded over 'fsdp', int8
             # quantized param all-gather + gradient reduce-scatter
@@ -198,10 +213,14 @@ class Trainer:
                 self.optim_comp,
                 self.mesh,
                 state,
+                task=task,
                 grad_bits=self.grad_allreduce_bits,
                 param_gather_bits=self.param_gather_bits,
                 measure_ratio=self.cfg.measure_compression_ratio,
                 tel_tpl=tel_tpl,
+                loss_compressor=(
+                    self.loss_compressor if self.cfg.compress_loss else None
+                ),
             )
         if self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import (
@@ -213,16 +232,20 @@ class Trainer:
                 self.spec,
                 self.optim_comp,
                 self.mesh,
+                task=task,
                 grad_allreduce_bits=self.grad_allreduce_bits,
                 measure_ratio=self.cfg.measure_compression_ratio,
                 tel_tpl=tel_tpl,
+                loss_compressor=(
+                    self.loss_compressor if self.cfg.compress_loss else None
+                ),
             )
 
         # single chip: backward (gradient-map) size telemetry via the
         # telemetry-token trick (inject/tap.py): differentiate the loss
         # w.r.t. the zero 'telemetry' collection — its gradient IS
         # [orig_bits, new_bits] per module, with no host callbacks.
-        def train_step(state: TrainState, images_u8, labels, key):
+        def train_step(state: TrainState, inputs, labels, key):
             from smart_quantization_tpu.optim.compressed import decode_params
 
             # per-step randomness derived ON DEVICE from the constant base
@@ -230,9 +253,8 @@ class Trainer:
             # keys (each host-side split is one extra RPC dispatch per step
             # through the relay backend)
             key = jax.random.fold_in(key, state.step)
-            k_aug, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
-            x = cifar_data.augment(images_u8, k_aug)
-            x = cifar_data.normalize(x)
+            k_data, k_fwd, k_opt, k_loss = jax.random.split(key, 4)
+            x = task.prepare_train(inputs, k_data)
             # packed weights: uint8 codes -> fp32 view (identity otherwise)
             in_params = decode_params(state.params, self.optim_comp)
 
@@ -245,15 +267,16 @@ class Trainer:
                     mutable.append("compression_stats")
                 logits, mut = self.model.apply(
                     variables,
-                    x,
+                    *task.model_args(x),
                     train=True,
-                    rngs={"compress": k_fwd},
+                    rngs=task.train_rngs(k_fwd, k_data),
                     mutable=mutable,
                 )
-                loss = cross_entropy(logits, labels)
+                loss = task.loss(logits, labels)
                 if self.cfg.compress_loss and self.loss_compressor is not None:
                     # loss compression (models/base.py:114-116, tag "loss")
-                    loss_q, _ = self.loss_compressor(loss[None], k_loss)
+                    with jax.named_scope("compress/loss"):
+                        loss_q, _ = self.loss_compressor(loss[None], k_loss)
                     loss = loss_q[0]
                 return loss, (logits, mut)
 
@@ -283,8 +306,8 @@ class Trainer:
                 mut.get("batch_stats", state.batch_stats),
                 opt_state,
             )
-            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-            metrics = {"train_loss": loss, "train_accuracy": acc}
+            metrics = {"train_loss": loss}
+            metrics.update(task.train_metrics(logits, labels))
             if self.cfg.measure_average_grad_norm:
                 norms = jnp.stack(
                     [jnp.linalg.norm(g) for g in jax.tree.leaves(grads)]
@@ -312,12 +335,12 @@ class Trainer:
             # time; lax.scan over K pre-uploaded batches amortizes it.
             # Composes with the on-device key derivation (each scanned step
             # folds its own state.step).
-            def multi_step(state: TrainState, images_u8, labels, key):
+            def multi_step(state: TrainState, inputs, labels, key):
                 def body(st, xs):
-                    im, lb = xs
-                    return train_step(st, im, lb, key)
+                    ins, lb = xs
+                    return train_step(st, ins, lb, key)
 
-                return jax.lax.scan(body, state, (images_u8, labels))
+                return jax.lax.scan(body, state, (inputs, labels))
 
             self._multi_train_step = jax.jit(multi_step, donate_argnums=(0,))
         else:
@@ -325,18 +348,21 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def build_eval_step(self):
-        def eval_step(state: TrainState, images_u8, labels):
+        task = self.task
+
+        def eval_step(state: TrainState, inputs, labels):
             from smart_quantization_tpu.optim.compressed import decode_params
 
-            x = cifar_data.normalize(images_u8)
+            x = task.prepare_eval(inputs)
             params = decode_params(state.params, self.optim_comp)
             variables = {"params": params, "batch_stats": state.batch_stats}
             logits = self.model.apply(
-                variables, x, train=False, rngs={"compress": jax.random.key(0)}
+                variables,
+                *task.model_args(x),
+                train=False,
+                rngs=task.eval_rngs(),
             )
-            loss = cross_entropy(logits, labels)
-            correct = jnp.sum((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
-            return loss, correct
+            return task.eval_outputs(logits, labels)
 
         return jax.jit(eval_step)
 
@@ -381,7 +407,7 @@ class Trainer:
             t0 = time.time()
             pending = []  # (last_step, n_substeps, metrics) not yet synced
             group: list = []  # host batches awaiting a K-step dispatch
-            for bi, (images, labels) in enumerate(
+            for bi, batch in enumerate(
                 self.data.train_batches(self.cfg.seed + epoch)
             ):
                 if (
@@ -389,26 +415,35 @@ class Trainer:
                     and bi >= self.cfg.limit_train_batches
                 ):
                     break
+                inputs, labels = self.task.split_batch(batch)
                 if spc > 1:
-                    group.append((np.asarray(images), np.asarray(labels)))
+                    group.append(
+                        (
+                            jax.tree.map(np.asarray, inputs),
+                            np.asarray(labels),
+                        )
+                    )
                     if len(group) < spc:
                         continue
-                    imgs = jnp.asarray(np.stack([g[0] for g in group]))
+                    ins = jax.tree.map(
+                        lambda *xs: jnp.asarray(np.stack(xs)),
+                        *[g[0] for g in group],
+                    )
                     lbls = jnp.asarray(np.stack([g[1] for g in group]))
                     group = []
                     # one dispatch runs K scanned steps; metrics come back
                     # with a leading K axis
                     state, metrics = self._multi_train_step(
-                        state, imgs, lbls, key
+                        state, ins, lbls, key
                     )
                     step += spc
                     pending.append((step, spc, metrics))
                 else:
-                    images, labels = self._place_batch(images, labels)
+                    inputs, labels = self._place_batch(inputs, labels)
                     # constant base key: the step derives per-step randomness
                     # from state.step on device (no host-side split per step)
                     state, metrics = self._train_step(
-                        state, images, labels, key
+                        state, inputs, labels, key
                     )
                     step += 1
                     pending.append((step, 1, metrics))
@@ -421,9 +456,9 @@ class Trainer:
                         return state  # NaN termination
                     pending = []
             # leftover batches smaller than a K-group run singly
-            for im, lb in group:
-                images, labels = self._place_batch(im, lb)
-                state, metrics = self._train_step(state, images, labels, key)
+            for ins, lb in group:
+                inputs, labels = self._place_batch(ins, lb)
+                state, metrics = self._train_step(state, inputs, labels, key)
                 step += 1
                 pending.append((step, 1, metrics))
             if self._drain(pending):
@@ -475,43 +510,53 @@ class Trainer:
                 return True
         return False
 
-    def _place_batch(self, images, labels):
-        images = jnp.asarray(images)
+    def _place_batch(self, inputs, labels):
+        inputs = jax.tree.map(jnp.asarray, inputs)
         labels = jnp.asarray(labels)
         if self._fsdp_active():
             from smart_quantization_tpu.parallel.train_fsdp_q import shard_batch
 
-            images, labels = shard_batch(self.mesh, images, labels)
+            inputs, labels = shard_batch(self.mesh, inputs, labels)
         elif self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import shard_batch
 
-            images, labels = shard_batch(self.mesh, images, labels)
-        return images, labels
+            inputs, labels = shard_batch(self.mesh, inputs, labels)
+        return inputs, labels
 
     def evaluate(self, state: TrainState) -> dict[str, float]:
         # keep per-batch results on device and fetch ONCE at the end: each
         # device->host scalar read is a blocking ~30 ms RPC on the relay
         # backend, and per-batch float() calls were dominating epoch time
-        losses, corrects, count = [], [], 0
-        for bi, (images, labels) in enumerate(self.data.val_batches()):
+        outs, labels_host, count = [], [], 0
+        for bi, batch in enumerate(self.data.val_batches()):
             if (
                 self.cfg.limit_val_batches is not None
                 and bi >= self.cfg.limit_val_batches
             ):
                 break
-            images, labels = self._place_batch(images, labels)
-            loss, c = self._eval_step(state, images, labels)
-            losses.append(loss)
-            corrects.append(c)
-            count += len(labels)
+            inputs, labels = self.task.split_batch(batch)
+            # shard the eval batch only when it divides the mesh; small val
+            # batches (default bs//4, cifar_base.py:36-37) run replicated
+            n_dev = (
+                1
+                if self.mesh is None
+                else int(np.prod(list(self.mesh.shape.values())))
+            )
+            if len(np.asarray(labels)) % n_dev == 0:
+                inputs, labels = self._place_batch(inputs, labels)
+            else:
+                inputs = jax.tree.map(jnp.asarray, inputs)
+                labels = jnp.asarray(labels)
+            outs.append(self._eval_step(state, inputs, labels))
+            labels_host.append(np.asarray(labels))
+            count += len(labels_host[-1])
         if count == 0:
             return {}
-        losses = np.asarray(jnp.stack(losses))
-        correct = float(np.sum(np.asarray(jnp.stack(corrects))))
-        return {
-            "val_loss": float(np.mean(losses)),
-            "val_accuracy": correct / count,
-        }
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        host = jax.tree.map(np.asarray, stacked)
+        return self.task.eval_summary(
+            host, np.concatenate(labels_host), count
+        )
 
     def _maybe_checkpoint(self, state: TrainState, epoch: int) -> None:
         if not self.cfg.checkpoint_dir:

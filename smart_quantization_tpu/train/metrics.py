@@ -73,6 +73,13 @@ class MetricLogger:
             self._fh = open(os.path.join(logdir, f"{name}.metrics.jsonl"), "a")
         self._t0 = time.time()
 
+    def header(self, info: Mapping[str, str]) -> None:
+        """Write a one-off run-metadata line (e.g. the git commit recorded by
+        --git, the reference's TestTubeLogger create_git_tag role)."""
+        if self._fh:
+            self._fh.write(json.dumps({"header": dict(info)}) + "\n")
+            self._fh.flush()
+
     def log(self, step: int, scalars: Mapping[str, float], echo: bool = True) -> None:
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         rec.update(

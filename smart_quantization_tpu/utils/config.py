@@ -144,6 +144,14 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "amortizes per-call RPC latency on relayed TPU backends "
              "(single-chip only)",
     )
+    parser.add_argument(
+        "--profile_dir", type=str,
+        help="capture a jax.profiler trace of the first --profile_steps "
+             "training steps into this directory (the reference's "
+             "--profiler advanced role, util/train.py:191); quantizer time "
+             "is attributed via jax.named_scope regions",
+    )
+    parser.add_argument("--profile_steps", type=int, default=10)
     parser.add_argument("--checkpoint_dir", type=str)
     parser.add_argument(
         "--resume_from", type=str,
@@ -252,6 +260,12 @@ def parse_args(argv: list[str] | str | None = None) -> argparse.Namespace:
         dest="compress_momentum_vectors",
     )
     phase1.add_argument("--compress_loss", action="store_true")
+    phase1.add_argument(
+        "--git", action="store_true",
+        help="tag the repository with run/<name> and record the commit hash "
+             "in the run's metrics header (the reference's TestTubeLogger "
+             "create_git_tag, util/train.py:167,193)",
+    )
     phase1.add_argument("--no_add_tags", action="store_false", dest="add_tags")
     phase1.add_argument("--name", type=str)
     phase1.add_argument("--logdir", type=str, default="lightning_logs")
@@ -276,6 +290,28 @@ def parse_args(argv: list[str] | str | None = None) -> argparse.Namespace:
     elif args.tags:
         args.name += f"-{args.tags}"
     return args
+
+
+def git_run_tag(name: str, create_tag: bool = True) -> str | None:
+    """Record the current commit for a run and (optionally) tag the repo as
+    ``run/<name>`` — the reference's TestTubeLogger ``create_git_tag=--git``
+    (util/train.py:167,193).  Returns the commit hash, or None outside a git
+    checkout."""
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return None
+    if create_tag:
+        subprocess.run(
+            ["git", "tag", "-f", f"run/{name}"],
+            capture_output=True, timeout=10,
+        )
+    return commit or None
 
 
 def build_components(

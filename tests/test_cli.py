@@ -96,3 +96,26 @@ class TestBuild:
     def test_fp16_precision_flag(self):
         comps = build_components(parse_args("--compress smart --precision 16"))
         assert comps["compressor"].params.std_clamp_hi == 1e4
+
+
+def test_git_run_tag(tmp_path, monkeypatch):
+    """--git tags the repo with run/<name> and returns the commit hash (the
+    reference's TestTubeLogger create_git_tag, util/train.py:167,193)."""
+    import subprocess
+
+    from smart_quantization_tpu.utils.config import git_run_tag
+
+    subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t", "commit",
+         "--allow-empty", "-m", "x", "-q"],
+        cwd=tmp_path, check=True,
+    )
+    monkeypatch.chdir(tmp_path)
+    commit = git_run_tag("myrun")
+    assert commit and len(commit) == 40
+    tags = subprocess.run(
+        ["git", "tag"], cwd=tmp_path, capture_output=True, text=True
+    ).stdout
+    assert "run/myrun" in tags
+    assert parse_args("--git").git

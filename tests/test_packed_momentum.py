@@ -461,25 +461,46 @@ def test_packed_momentum_bert_loop():
     assert np.isfinite(val["val_loss"])
 
 
-def test_bert_rejects_packed_weights():
+def test_bert_packed_weights():
+    """packed weights work for BERT through the unified Trainer (the former
+    BertTrainer rejected them; the unified loop's decode-at-step-entry is
+    model-agnostic)."""
+    from smart_quantization_tpu.data.glue import GLUEData
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.bert import (
+        BertConfig,
+        BertForSequenceClassification,
+    )
     from smart_quantization_tpu.train.bert_loop import BertTrainer
     from smart_quantization_tpu.train.loop import TrainConfig
+    from smart_quantization_tpu.train.metrics import MetricLogger
 
-    with pytest.raises(NotImplementedError, match="packed_weights"):
-        BertTrainer(
-            None, None, build_optimizer("adamw", 1e-4),
-            optim_comp=OptimizerCompression(
-                compressor=build_compressor("smart"), packed_weights=True
-            ),
-            config=TrainConfig(), task="stsb",
-        )
+    comp = build_compressor("smart", use_pallas=False)
+    tap = TapConfig(compressor=comp)
+    data = GLUEData(task="stsb", batch_size=4, max_input_length=16)
+    model = BertForSequenceClassification(
+        BertConfig.tiny(), num_labels=data.num_labels, tap=tap
+    )
+    trainer = BertTrainer(
+        model, data, build_optimizer("adamw", 1e-4),
+        optim_comp=OptimizerCompression(compressor=comp, packed_weights=True),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
+                           limit_val_batches=1),
+        logger=MetricLogger(None), task="stsb",
+    )
+    state = trainer.fit()
+    assert int(state.step) == 2
+    packed_params = [
+        l for l in jax.tree.leaves(
+            state.params, is_leaf=lambda l: isinstance(l, SmaQCodes)
+        ) if isinstance(l, SmaQCodes)
+    ]
+    assert packed_params
+    val = trainer.evaluate(state)
+    assert np.isfinite(val["val_loss"])
 
 
-def test_packed_momentum_under_fsdp_mesh():
-    """packed momentum is rejected under FSDP with a clear error: per-shard
-    encode would produce shard-local (mean, std) scalars and shard-local
-    min_size decisions, breaking the replicated structure.  (FSDP already
-    shards the optimizer state N-ways for memory scaling.)"""
+def _fsdp_trainer(packed_flags=(), seed=0, limit=2):
     from smart_quantization_tpu.data.cifar import CIFAR10Data
     from smart_quantization_tpu.inject.tap import TapConfig
     from smart_quantization_tpu.models.tiny import TinyCNN
@@ -487,23 +508,132 @@ def test_packed_momentum_under_fsdp_mesh():
     from smart_quantization_tpu.train.loop import TrainConfig, Trainer
     from smart_quantization_tpu.train.metrics import MetricLogger
 
-    if jax.device_count() < 8:
-        pytest.skip("needs 8 devices")
     comp = build_compressor("smart", use_pallas=False)
     tap = TapConfig(compressor=comp)
     model = TinyCNN(num_classes=10, tap=tap)
     data = CIFAR10Data(batch_size=32)
     spec = build_optimizer("adam", 1e-3)
-    trainer = Trainer(
+    return Trainer(
         model, data, spec,
         tap_cfg=tap,
-        optim_comp=OptimizerCompression(compressor=comp, packed_momentum=True),
-        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=2,
-                           limit_val_batches=1),
+        optim_comp=OptimizerCompression(
+            compressor=comp, **{f: True for f in packed_flags}
+        ),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=limit,
+                           limit_val_batches=1, seed=seed),
         logger=MetricLogger(None),
         mesh=make_mesh(dp=2, fsdp=4),
         grad_allreduce_bits=8,
         param_gather_bits=8,
     )
-    with pytest.raises(NotImplementedError, match="packed_momentum"):
-        trainer.fit()
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_packed_momentum_under_fsdp_mesh():
+    """packed momentum composes with FSDP (VERDICT r2 item 5): each shard
+    keeps its own codebook — stats live as (fsdp,)-sharded rank-1 arrays,
+    codes keep the sharded param layout — so a SINGLE step must be BITWISE
+    identical to the fake-quant FSDP run (the per-shard encode sees exactly
+    the tensors the fake compressor saw, with the same keys).  As on a
+    single chip, multi-step bitwise equality is chaotic by construction
+    (one clamped tail element flips stochastic rounding tensor-wide), so the
+    single-step contract is the assertion."""
+    t_fake = _fsdp_trainer((), limit=1)
+    t_pack = _fsdp_trainer(("packed_momentum",), limit=1)
+    s_fake = t_fake.fit()
+    s_pack = t_pack.fit()
+    assert int(s_fake.step) == 1 and int(s_pack.step) == 1
+
+    # packed leaves really are uint8 with per-shard (fsdp,) stats
+    packed_mom = [
+        l for l in _momentum_leaves(jax.device_get(s_pack.opt_state))
+        if isinstance(l, SmaQCodes)
+    ]
+    assert packed_mom
+    sharded_stats = [l for l in packed_mom if l.mean.shape == (4,)]
+    assert sharded_stats, "expected (fsdp,)-stats momentum leaves"
+
+    # single-step bitwise equality vs the fake path (weight quantization
+    # precedes momentum storage, so packing cannot affect step-1 params)
+    p_fake = jax.device_get(s_fake.params)
+    p_pack = jax.device_get(s_pack.params)
+    for a, b in zip(jax.tree.leaves(p_fake), jax.tree.leaves(p_pack)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the stored momentum decodes to the fake values wherever |z| is
+    # inside the extended storage range.  Bitwise at the op level (the eager
+    # tests above); at the loop level the two jitted programs fuse the
+    # dequant arithmetic differently (XLA fma/reassociation — measured: even
+    # fake-vs-fake differs eager-vs-jit by 1 ulp), so allow 1-2 ulp here.
+    from smart_quantization_tpu.ops.codebook import storage_z_limit
+
+    def flagged_leaves(opt_state):
+        """(leaf, all_positive) momentum pairs — nu decodes all_positive."""
+        out = []
+
+        def walk(s):
+            is_codes = lambda l: isinstance(l, SmaQCodes)  # noqa: E731
+            if isinstance(s, optax.TraceState):
+                out.extend((l, False) for l in jax.tree.leaves(s.trace, is_leaf=is_codes))
+            elif isinstance(s, optax.ScaleByAdamState):
+                out.extend((l, False) for l in jax.tree.leaves(s.mu, is_leaf=is_codes))
+                out.extend((l, True) for l in jax.tree.leaves(s.nu, is_leaf=is_codes))
+
+        jax.tree.map(
+            walk, opt_state,
+            is_leaf=lambda s: isinstance(
+                s, (optax.TraceState, optax.ScaleByAdamState)
+            ),
+        )
+        return out
+
+    p_params = packed_smaq_params(t_pack.optim_comp)
+    zlim = storage_z_limit(p_params)
+    fake_leaves = flagged_leaves(jax.device_get(s_fake.opt_state))
+    pack_leaves = flagged_leaves(jax.device_get(s_pack.opt_state))
+    checked = 0
+    for (f, _), (p, ap) in zip(fake_leaves, pack_leaves):
+        if not isinstance(p, SmaQCodes):
+            continue
+        dec = np.asarray(smaq_decode(p, p_params, all_positive=ap))
+        f = np.asarray(f)
+        mean = np.asarray(p.mean).reshape(-1)
+        std = np.asarray(p.std).reshape(-1)
+        # conservative in-range mask: inside the limit for EVERY shard's stats
+        z = np.abs(
+            (f[None, ...] - mean.reshape((-1,) + (1,) * f.ndim))
+            / std.reshape((-1,) + (1,) * f.ndim)
+        ).max(axis=0)
+        in_range = z <= zlim
+        # a few ulps: Adam's eps-guarded nu compounds two fused rounding
+        # differences; the main grid step is ~7% relative, so 2e-5 still
+        # pins the decode to the exact grid point the fake path stored
+        np.testing.assert_allclose(
+            dec[in_range], f[in_range], rtol=2e-5, atol=0.0
+        )
+        checked += in_range.sum()
+    assert checked > 0
+
+    val = t_pack.evaluate(s_pack)
+    assert np.isfinite(val["val_loss"])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_packed_weights_under_fsdp_mesh():
+    """packed weights compose with FSDP too: params persist as uint8 shard
+    codes (decoded at step entry before the quantized all-gather).  Not
+    bitwise vs fake — initial params are encoded at init (the documented
+    packed_weights deviation) — but the run must train and evaluate."""
+    t = _fsdp_trainer(("packed_momentum", "packed_weights"))
+    state = t.fit()
+    assert int(state.step) == 2
+    packed_params = [
+        l for l in jax.tree.leaves(
+            jax.device_get(state.params),
+            is_leaf=lambda l: isinstance(l, SmaQCodes),
+        ) if isinstance(l, SmaQCodes)
+    ]
+    assert packed_params
+    assert any(l.mean.shape == (4,) for l in packed_params)
+    val = t.evaluate(state)
+    assert np.isfinite(val["val_loss"])

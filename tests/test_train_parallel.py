@@ -584,6 +584,7 @@ class TestParallel:
         trainer = BertTrainer(
             model, data, build_optimizer("adamw", 1e-4),
             optim_comp=OptimizerCompression(compressor=comp),
+            tap_cfg=tap,
             config=cfg, logger=MetricLogger(None), task="stsb",
             mesh=make_mesh(dp=8), grad_allreduce_bits=8,
         )

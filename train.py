@@ -22,6 +22,12 @@ def main(argv=None):
 
     args = parse_args(argv)
     print(f"run name: {args.name}")
+    if args.git:
+        from smart_quantization_tpu.utils.config import git_run_tag
+
+        args._git_commit = git_run_tag(args.name)
+        if args._git_commit:
+            print(f"git: tagged run/{args.name} at {args._git_commit[:12]}")
 
     import jax
 
@@ -66,8 +72,12 @@ def main(argv=None):
         seed=args.seed,
         measure_average_grad_norm=args.measure_average_grad_norm,
         steps_per_call=args.steps_per_call,
+        profile_dir=args.profile_dir,
+        profile_steps=args.profile_steps,
     )
     logger = MetricLogger(args.logdir, args.name)
+    if getattr(args, "_git_commit", None):
+        logger.header({"git_commit": args._git_commit, "name": args.name})
     mesh = None
     fsdp = getattr(args, "fsdp", 1) or 1
     if (args.dp and args.dp > 1) or fsdp > 1:
