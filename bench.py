@@ -126,18 +126,74 @@ def main():
 
     import functools
 
+    # full-stats mode: the reference's DEFAULT config (use_sample_stats is
+    # opt-in, smart.py:86-91) — pays one extra HBM read for the fused
+    # sum/sumsq stats pass (3 passes total vs sampled mode's 2)
+    params_full = SmaQParams(
+        num_bits_main=6, num_bits_outlier=8,
+        stochastic_rounding=True, use_sample_stats=False,
+    )
+
+    def make_chain_full(k_iters, compute_size=False):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y, _ = smaq_fused(
+                    y, None, params_full, seed=base_seed + i,
+                    compute_size=compute_size,
+                )
+            return jnp.sum(y[:8])
+
+        return g
+
     dt = slope_ms(make_chain)
+    dt_full = slope_ms(make_chain_full)
     dt_telemetry = slope_ms(functools.partial(make_chain, compute_size=True))
     dt_ceiling = slope_ms(make_ceiling_chain)
 
     bytes_moved = n * 4 * 2  # fp32 read + fp32 write
     gbs = bytes_moved / dt / 1e9
+    # full-stats quotes the same 2-pass bytes (apples-to-apples call speed);
+    # its real traffic is 3 passes, so its ceiling fraction uses 3 passes
+    gbs_full = bytes_moved / dt_full / 1e9
+    gbs_full_traffic = n * 4 * 3 / dt_full / 1e9
     gbs_telemetry = bytes_moved / dt_telemetry / 1e9
     ceiling_gbs = bytes_moved / dt_ceiling / 1e9
     roofline = detect_roofline() if on_tpu else float("nan")
     frac = gbs / roofline if on_tpu else 0.0
     vs_baseline = frac / 0.80 if on_tpu else 0.0
 
+    # end-to-end step time: ResNet-18 + SmaQ 6/8 full coverage, synthetic
+    # CIFAR, one chip — the reproducible form of the "s/epoch" claim.
+    # SMAQ_BENCH_E2E=0 skips it (it adds a model compile to bench time).
+    e2e = {}
+    if on_tpu and os.environ.get("SMAQ_BENCH_E2E", "1") == "1":
+        e2e = measure_e2e_step_time()
+
+    detail = {
+        "elements": n,
+        "per_call_ms": round(dt * 1e3, 3),
+        "roofline_gbs": roofline,
+        "fraction_of_roofline": round(frac, 4),
+        # the reference's DEFAULT stats mode (full, not sampled): one extra
+        # fused sum/sumsq read -> 3 HBM passes; the first GB/s number quotes
+        # 2-pass bytes for apples-to-apples call speed, the second counts
+        # the real traffic
+        "full_stats_gbs": round(gbs_full, 2),
+        "full_stats_traffic_gbs": round(gbs_full_traffic, 2),
+        "full_stats_fraction_of_ceiling": round(
+            gbs_full_traffic / ceiling_gbs, 4
+        ) if ceiling_gbs > 0 else 0.0,
+        "with_size_telemetry_gbs": round(gbs_telemetry, 2),
+        "measured_elementwise_ceiling_gbs": round(ceiling_gbs, 2),
+        "fraction_of_measured_ceiling": round(
+            gbs / ceiling_gbs, 4
+        ) if ceiling_gbs > 0 else 0.0,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    detail.update(e2e)
     print(
         json.dumps(
             {
@@ -145,22 +201,54 @@ def main():
                 "value": round(gbs, 2),
                 "unit": "GB/s",
                 "vs_baseline": round(vs_baseline, 4),
-                "detail": {
-                    "elements": n,
-                    "per_call_ms": round(dt * 1e3, 3),
-                    "roofline_gbs": roofline,
-                    "fraction_of_roofline": round(frac, 4),
-                    "with_size_telemetry_gbs": round(gbs_telemetry, 2),
-                    "measured_elementwise_ceiling_gbs": round(ceiling_gbs, 2),
-                    "fraction_of_measured_ceiling": round(
-                        gbs / ceiling_gbs, 4
-                    ) if ceiling_gbs > 0 else 0.0,
-                    "backend": jax.default_backend(),
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )
+
+
+def measure_e2e_step_time() -> dict:
+    from smart_quantization_tpu.compress import build_compressor
+    from smart_quantization_tpu.data.cifar import CIFAR10Data
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.resnet import resnet18
+    from smart_quantization_tpu.optim.compressed import (
+        OptimizerCompression,
+        build_optimizer,
+    )
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+
+    class _Epochs:
+        def __init__(self):
+            self.times = []
+
+        def log(self, step, scalars, echo=True):
+            if "epoch_time_s" in scalars:
+                self.times.append(float(scalars["epoch_time_s"]))
+
+    comp = build_compressor("smart")
+    tap = TapConfig(compressor=comp)
+    model = resnet18(num_classes=10, tap=tap)
+    data = CIFAR10Data(batch_size=256)  # synthetic: 2048 train rows
+    logger = _Epochs()
+    trainer = Trainer(
+        model, data, build_optimizer("sgd", 0.1, momentum=0.9),
+        tap_cfg=tap,
+        optim_comp=OptimizerCompression(compressor=comp),
+        config=TrainConfig(epochs=4, log_every=10_000, steps_per_call=8),
+        logger=logger,
+    )
+    trainer.fit()
+    steps_per_epoch = data.steps_per_epoch
+    warm = logger.times[1:] or logger.times
+    best_epoch_s = min(warm)
+    return {
+        "e2e_epoch_s_resnet18_smaq68_bs256": round(best_epoch_s, 3),
+        "e2e_step_ms_resnet18_smaq68_bs256": round(
+            best_epoch_s / steps_per_epoch * 1e3, 2
+        ),
+        "e2e_steps_per_epoch": steps_per_epoch,
+    }
 
 
 if __name__ == "__main__":

@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--opt", default="adam", choices=["sgd", "adam", "adamw"])
     ap.add_argument("--checkpoints", action="store_true",
                     help="also write orbax checkpoints and compare disk size")
+    ap.add_argument("--fsdp", type=int, default=1,
+                    help="also report PER-SHARD bytes under an N-way FSDP "
+                         "layout: sharding divides state by ~N, packing by "
+                         "another ~4x — the two compose")
     args = ap.parse_args()
 
     model = {"resnet18": resnet18, "resnet34": resnet34}[args.model](
@@ -92,6 +96,33 @@ def main():
         "reduction_x": round(bytes_fp32 / bytes_packed, 3),
         "backend": jax.default_backend(),
     }
+
+    if args.fsdp > 1:
+        from smart_quantization_tpu.parallel.mesh import fsdp_shard_axis
+
+        def shard_bytes(tree, n):
+            total = 0
+            for l in jax.tree.leaves(tree):
+                ax = fsdp_shard_axis(l.shape, n)
+                total += l.nbytes // n if ax >= 0 else l.nbytes
+            return total
+
+        n = args.fsdp
+        opt_packed_f = init_opt_state(spec, params, packed_comp, fsdp_size=n)
+        params_packed_f = encode_params(
+            params, packed_comp, jax.random.key(2), fsdp_size=n
+        )
+        fp32_shard = shard_bytes(params, n) + shard_bytes(opt_fp32, n)
+        packed_shard = shard_bytes(params_packed_f, n) + shard_bytes(
+            opt_packed_f, n
+        )
+        out["fsdp"] = n
+        out["fsdp_fp32_state_bytes_per_shard"] = int(fp32_shard)
+        out["fsdp_packed_state_bytes_per_shard"] = int(packed_shard)
+        out["fsdp_packed_reduction_x"] = round(fp32_shard / packed_shard, 3)
+        out["fsdp_total_reduction_vs_single_fp32_x"] = round(
+            bytes_fp32 / packed_shard, 3
+        )
 
     if args.checkpoints:
         import shutil

@@ -15,8 +15,10 @@ Design notes (measured on a v5e chip):
   ``num_samples`` positions strided across the first block (mirroring the
   HLS SAMPLE_STATS variant's deterministic stride, smaq-with-bn.cpp:21-28);
   random-index host-side gathers measured ~1000x slower than in-VMEM reads;
-- full stats use one fused XLA mean/std reduction (an unavoidable extra read
-  pass);
+- full stats use one fused sum/sum-of-squares reduction — a single extra
+  read pass (3 HBM passes total; quantizing against whole-tensor stats
+  cannot go below 2 reads + 1 write, since every element's quantum depends
+  on a global reduction);
 - the data-dependent outlier count accumulates across the sequential grid in
   SMEM; zero-padding's contribution is corrected on the way out;
 - stochastic rounding uses the per-core PRNG seeded from the raw key bits
@@ -238,11 +240,25 @@ def smaq_fused(
         mean = std = None
     else:
         if mean is None or std is None:
-            full = SmaQParams(**{
-                **{f: getattr(params, f) for f in params.__dataclass_fields__},
-                "use_sample_stats": False,
-            })
-            mean, std = compute_stats(xf, full, None)
+            # full stats in ONE fused read: sum and sum-of-squares reduce
+            # together (jnp.mean-then-std costs two passes over HBM), so
+            # full-stats mode moves 3 passes total (stats read + kernel
+            # read + write) instead of 4.  E[x^2]-E[x]^2 with a zero clamp:
+            # ulp-level differences vs the two-pass reference formulation
+            # can flip bucket-boundary elements (the conformance tests
+            # bound that); cancellation only bites when |mean| >> std,
+            # where the clamp (and the kernel's zero-std guard) keep it
+            # safe.  The jnp reference path (ops/smaq.py) keeps the
+            # torch-matching two-pass math.
+            flat0 = xf.reshape(-1)
+            s1 = jnp.sum(flat0)
+            s2 = jnp.sum(flat0 * flat0)
+            nn = jnp.float32(n)
+            mean = s1 / nn
+            var = jnp.maximum(
+                (s2 - s1 * (s1 / nn)) / jnp.maximum(nn - 1.0, 1.0), 0.0
+            )
+            std = jnp.sqrt(var)
         stats2 = jnp.concatenate(
             [jnp.reshape(mean, (1, 1)), jnp.reshape(std, (1, 1))], axis=1
         ).astype(jnp.float32)
