@@ -112,6 +112,7 @@ class Trainer:
         self._train_step = None
         self._multi_train_step = None
         self._eval_step = None
+        self._multi_eval_step = None
         self.nan_terminated = False
         self._bwd_tel_active = False
         # data-parallel mesh (reference: Lightning DDP).  When set, the step
@@ -364,6 +365,19 @@ class Trainer:
             )
             return task.eval_outputs(logits, labels)
 
+        if self.cfg.steps_per_call > 1 and self.mesh is None:
+            # batch K val dispatches into one lax.scan call — per-call RPC
+            # latency (~30 ms on relayed backends) otherwise dominates eval
+            def multi_eval(state: TrainState, inputs, labels):
+                def body(_, xs):
+                    ins, lb = xs
+                    return None, eval_step(state, ins, lb)
+
+                return jax.lax.scan(body, None, (inputs, labels))[1]
+
+            self._multi_eval_step = jax.jit(multi_eval)
+        else:
+            self._multi_eval_step = None
         return jax.jit(eval_step)
 
     # ---------------------------------------------------------------- loop
@@ -528,6 +542,8 @@ class Trainer:
         # device->host scalar read is a blocking ~30 ms RPC on the relay
         # backend, and per-batch float() calls were dominating epoch time
         outs, labels_host, count = [], [], 0
+        group: list = []  # host batches awaiting a K-scan eval dispatch
+        spc = self.cfg.steps_per_call if self._multi_eval_step is not None else 1
         for bi, batch in enumerate(self.data.val_batches()):
             if (
                 self.cfg.limit_val_batches is not None
@@ -535,6 +551,23 @@ class Trainer:
             ):
                 break
             inputs, labels = self.task.split_batch(batch)
+            if spc > 1:
+                group.append(
+                    (jax.tree.map(np.asarray, inputs), np.asarray(labels))
+                )
+                labels_host.append(group[-1][1])
+                count += len(group[-1][1])
+                if len(group) < spc:
+                    continue
+                ins = jax.tree.map(
+                    lambda *xs: jnp.asarray(np.stack(xs)),
+                    *[g[0] for g in group],
+                )
+                lbls = jnp.asarray(np.stack([g[1] for g in group]))
+                group = []
+                # one dispatch evaluates K batches; outs get a leading K axis
+                outs.append(self._multi_eval_step(state, ins, lbls))
+                continue
             # shard the eval batch only when it divides the mesh; small val
             # batches (default bs//4, cifar_base.py:36-37) run replicated
             n_dev = (
@@ -550,9 +583,23 @@ class Trainer:
             outs.append(self._eval_step(state, inputs, labels))
             labels_host.append(np.asarray(labels))
             count += len(labels_host[-1])
+        for ins, lb in group:  # leftover batches smaller than a K-group
+            outs.append(
+                jax.tree.map(
+                    lambda x: x[None],
+                    self._eval_step(state, jax.tree.map(jnp.asarray, ins),
+                                    jnp.asarray(lb)),
+                )
+            )
         if count == 0:
             return {}
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+        if spc > 1:
+            # concatenate groups along the K axis -> (total_batches, ...)
+            stacked = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs
+            )
+        else:
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
         host = jax.tree.map(np.asarray, stacked)
         return self.task.eval_summary(
             host, np.concatenate(labels_host), count

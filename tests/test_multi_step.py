@@ -85,3 +85,35 @@ def test_grouped_steps_rejected_on_mesh():
     )
     with pytest.raises(ValueError, match="single-chip"):
         trainer.fit()
+
+
+def test_grouped_eval_matches_single_eval():
+    """evaluate() under steps_per_call > 1 scans K val batches per dispatch;
+    the summary must match per-batch dispatches (eval is deterministic:
+    fixed compress key, no augmentation)."""
+    t1, s1 = _fit(1, n_batches=2)
+    t3, s3 = _fit(3, n_batches=2)
+    t1.cfg.limit_val_batches = None
+    t3.cfg.limit_val_batches = None
+    v1 = t1.evaluate(s1)
+    # CIFAR10Data(batch_size=8) -> val_bs 2, synthetic test 512 rows = 256
+    # batches: 85 full 3-groups + 1 leftover single exercises both paths
+    v3 = t3.evaluate(s3)
+    assert set(v1) == set(v3)
+    # the two fitted states differ only by scan-vs-single reassociation ulps
+    np.testing.assert_allclose(
+        v1["val_accuracy"], v3["val_accuracy"], rtol=0, atol=1e-2
+    )
+    np.testing.assert_allclose(v1["val_loss"], v3["val_loss"], rtol=1e-3)
+    # and on the SAME state the two eval paths must agree to reassociation ulps
+    v_single = t1.evaluate(s1)
+    t1.cfg.steps_per_call = 3
+    t1._eval_step = None
+    t1._train_step = None
+    t1._train_step = t1.build_train_step(s1)
+    t1._eval_step = t1.build_eval_step()
+    v_grouped = t1.evaluate(s1)
+    np.testing.assert_allclose(
+        v_single["val_loss"], v_grouped["val_loss"], rtol=1e-6
+    )
+    assert v_single["val_accuracy"] == v_grouped["val_accuracy"]
