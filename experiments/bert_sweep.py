@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""BERT/STSB encoder sweep: the second axis of the reference's Table I
+(README.md:38-41 / images/results.png): full-coverage compression of a BERT
+regression fine-tune under each encoder, tracking mean(Pearson, Spearman),
+compression ratio, and NaN divergence.
+
+Real GLUE and pretrained bert-base weights are unavailable offline, so this
+trains the tiny BERT config from scratch on the synthetic STSB stand-in
+(data/glue.py: sentence-overlap-correlated labels) — the reference's
+qualitative result to reproduce is SmaQ/BF16/FP16 tracking FP32 with FP8
+degrading (0.766 vs 0.793).
+
+  python experiments/bert_sweep.py --epochs 30 --batch_size 64 \
+      --out experiments/results/bert_sweep_stsb_synthetic.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _HistoryLogger:
+    def __init__(self):
+        self.history = []
+
+    def log(self, step, scalars, echo=True):
+        if "val_pearson_spearman_mean" in scalars and "epoch" in scalars:
+            self.history.append(
+                {
+                    "epoch": int(scalars["epoch"]),
+                    "val_corr": round(
+                        float(scalars["val_pearson_spearman_mean"]), 4
+                    ),
+                    "val_loss": round(float(scalars["val_loss"]), 4),
+                }
+            )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encoders", nargs="+",
+                    default=["fp32", "smart", "bf16", "fp8", "s2fp8", "fp16"])
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--val_batch_size", type=int, default=256)
+    ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--max_input_length", type=int, default=32)
+    ap.add_argument("--train_n", type=int, default=4096)
+    ap.add_argument("--val_n", type=int, default=1024)
+    ap.add_argument("--steps_per_call", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="bert_sweep_results.json")
+    args = ap.parse_args()
+
+    from smart_quantization_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+
+    from smart_quantization_tpu.compress import build_compressor
+    from smart_quantization_tpu.data.glue import GLUEData
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.bert import (
+        BertConfig,
+        BertForSequenceClassification,
+    )
+    from smart_quantization_tpu.optim.compressed import (
+        OptimizerCompression,
+        build_optimizer,
+    )
+    from smart_quantization_tpu.train.bert_loop import BertTrainer
+    from smart_quantization_tpu.train.loop import TrainConfig
+
+    results = {
+        "_meta": {
+            "model": "bert-tiny (from scratch; pretrained weights are "
+                     "offline-unavailable)",
+            "task": "stsb-synthetic",
+            "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "learning_rate": args.learning_rate,
+            "seed": args.seed,
+            "backend": jax.default_backend(),
+            "coverage": "forward+backward+weights+gradients+momentum (full)",
+        }
+    }
+    for enc in args.encoders:
+        t0 = time.time()
+        comp = build_compressor(enc)
+        tap = TapConfig(compressor=comp)
+        data = GLUEData(
+            task="stsb", batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
+            max_input_length=args.max_input_length,
+            synthetic_train=args.train_n, synthetic_val=args.val_n,
+        )
+        model = BertForSequenceClassification(
+            BertConfig.tiny(), num_labels=data.num_labels, tap=tap
+        )
+        logger = _HistoryLogger()
+        trainer = BertTrainer(
+            model, data,
+            build_optimizer("adamw", args.learning_rate),
+            tap_cfg=tap,
+            optim_comp=OptimizerCompression(compressor=comp),
+            loss_compressor=comp,
+            config=TrainConfig(
+                epochs=args.epochs,
+                log_every=200,
+                measure_compression_ratio=True,
+                steps_per_call=args.steps_per_call,
+                seed=args.seed,
+            ),
+            logger=logger,
+            task="stsb",
+        )
+        state = trainer.fit()
+        val = trainer.evaluate(state)
+        ratios = trainer.ratio_acc.summary()
+        mean_corr = (
+            round(val["val_pearson_spearman_mean"], 4)
+            if "val_pearson_spearman_mean" in val else None
+        )
+        corrs = [h["val_corr"] for h in logger.history]
+        tail = corrs[-(max(len(corrs) // 3, 1)):]
+        results[enc] = {
+            # the reference's Table-I metric: mean(Pearson, Spearman)
+            "mean_correlation": mean_corr,
+            "val_pearson": val.get("val_pearson"),
+            "val_spearman": val.get("val_spearmanr"),
+            "val_loss": val.get("val_loss"),
+            "tail_mean_correlation": (
+                round(sum(tail) / len(tail), 4) if tail else None
+            ),
+            "nan_terminated": trainer.nan_terminated,
+            "compression_ratio": round(ratios.get("compression_ratio", 1.0), 3),
+            "wall_s": round(time.time() - t0, 1),
+            "history": logger.history,
+        }
+        print(f"[{enc}] corr={mean_corr} "
+              f"ratio={results[enc]['compression_ratio']} "
+              f"nan={results[enc]['nan_terminated']}", flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    print("\nencoder      mean_corr  tail_corr   ratio   diverged")
+    for enc, r in results.items():
+        if enc.startswith("_"):
+            continue
+        print(f"{enc:10s} {r['mean_correlation']!s:>10} "
+              f"{r['tail_mean_correlation']!s:>10} "
+              f"{r['compression_ratio']:>7} {r['nan_terminated']!s:>10}")
+
+
+if __name__ == "__main__":
+    main()

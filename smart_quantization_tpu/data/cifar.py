@@ -153,6 +153,10 @@ class CIFARData:
     def steps_per_epoch(self) -> int:
         return len(self.train_x) // self.batch_size
 
+    @property
+    def val_steps_per_epoch(self) -> int:
+        return len(self.test_x) // self.val_batch_size
+
 
 class CIFAR10Data(CIFARData):
     num_classes = 10

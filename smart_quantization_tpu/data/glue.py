@@ -157,6 +157,10 @@ class GLUEData:
     def steps_per_epoch(self) -> int:
         return len(self.train_examples) // self.batch_size
 
+    @property
+    def val_steps_per_epoch(self) -> int:
+        return len(self.val_examples) // self.val_batch_size
+
 
 class IMDBData(GLUEData):
     """IMDB sentiment (reference data/imdb.py:17-102): single text field,

@@ -103,6 +103,7 @@ def run_bert(args):
         checkpoint_dir=args.checkpoint_dir,
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
+        max_time_s=getattr(args, "max_time", None),
         seed=args.seed,
         steps_per_call=args.steps_per_call,
         profile_dir=getattr(args, "profile_dir", None),

@@ -61,8 +61,13 @@ class TrainConfig:
     measure_compression_ratio: bool = False
     checkpoint_dir: str | None = None
     checkpoint_every_epochs: int = 1
-    limit_train_batches: int | None = None
-    limit_val_batches: int | None = None
+    # int = batch count; 0 < float < 1 = fraction of the epoch (Lightning
+    # semantics — the reference's debug config runs limit_train_batches 0.5)
+    limit_train_batches: int | float | None = None
+    limit_val_batches: int | float | None = None
+    # wall-clock budget in seconds (Lightning --max_time role); checked at
+    # drain points and epoch boundaries, so the hot loop never syncs for it
+    max_time_s: float | None = None
     seed: int = 0
     # average per-parameter gradient-norm probe (models/base.py:84-96,165-180)
     measure_average_grad_norm: bool = False
@@ -380,6 +385,16 @@ class Trainer:
             self._multi_eval_step = None
         return jax.jit(eval_step)
 
+    @staticmethod
+    def _resolve_limit(v, total):
+        """Lightning limit semantics: None, an int count, or a 0<f<1
+        fraction of ``total`` batches."""
+        if v is None:
+            return None
+        if 0 < v < 1:
+            return max(1, int(v * total)) if total else None
+        return int(v)
+
     # ---------------------------------------------------------------- loop
     def fit(self, state: TrainState | None = None) -> TrainState:
         key = jax.random.key(self.cfg.seed)
@@ -417,6 +432,18 @@ class Trainer:
         spc = self.cfg.steps_per_call
         if spc > 1 and self.mesh is not None:
             raise ValueError("steps_per_call > 1 is single-chip only")
+        fit_t0 = time.time()
+
+        def time_up() -> bool:
+            return (
+                self.cfg.max_time_s is not None
+                and time.time() - fit_t0 >= self.cfg.max_time_s
+            )
+
+        lim_train = self._resolve_limit(
+            self.cfg.limit_train_batches,
+            getattr(self.data, "steps_per_epoch", 0),
+        )
         for epoch in range(self.cfg.epochs):
             t0 = time.time()
             pending = []  # (last_step, n_substeps, metrics) not yet synced
@@ -424,10 +451,7 @@ class Trainer:
             for bi, batch in enumerate(
                 self.data.train_batches(self.cfg.seed + epoch)
             ):
-                if (
-                    self.cfg.limit_train_batches is not None
-                    and bi >= self.cfg.limit_train_batches
-                ):
+                if lim_train is not None and bi >= lim_train:
                     break
                 inputs, labels = self.task.split_batch(batch)
                 if spc > 1:
@@ -469,6 +493,10 @@ class Trainer:
                     if self._drain(pending):
                         return state  # NaN termination
                     pending = []
+                    if time_up():
+                        print(f"max_time reached at step {step}; stopping.",
+                              flush=True)
+                        return state
             # leftover batches smaller than a K-group run singly
             for ins, lb in group:
                 inputs, labels = self._place_batch(ins, lb)
@@ -476,6 +504,10 @@ class Trainer:
                 step += 1
                 pending.append((step, 1, metrics))
             if self._drain(pending):
+                return state
+            if time_up():
+                print(f"max_time reached at step {step}; stopping.",
+                      flush=True)
                 return state
 
             if profiling:
@@ -544,11 +576,12 @@ class Trainer:
         outs, labels_host, count = [], [], 0
         group: list = []  # host batches awaiting a K-scan eval dispatch
         spc = self.cfg.steps_per_call if self._multi_eval_step is not None else 1
+        lim_val = self._resolve_limit(
+            self.cfg.limit_val_batches,
+            getattr(self.data, "val_steps_per_epoch", 0),
+        )
         for bi, batch in enumerate(self.data.val_batches()):
-            if (
-                self.cfg.limit_val_batches is not None
-                and bi >= self.cfg.limit_val_batches
-            ):
+            if lim_val is not None and bi >= lim_val:
                 break
             inputs, labels = self.task.split_batch(batch)
             if spc > 1:

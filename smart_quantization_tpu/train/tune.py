@@ -78,12 +78,16 @@ def auto_lr_find(
         losses, lrs = [], []
         step = 0
         for epoch in range(1 + num_steps // max(trainer.data.steps_per_epoch, 1)):
-            for images, labels in trainer.data.train_batches(epoch):
+            for batch in trainer.data.train_batches(epoch):
                 if step >= num_steps:
                     break
+                inputs, labels = trainer.task.split_batch(batch)
                 key, k = jax.random.split(key)
                 state, metrics = trainer._train_step(
-                    state, jnp.asarray(images), jnp.asarray(labels), k
+                    state,
+                    jax.tree.map(jnp.asarray, inputs),
+                    jnp.asarray(labels),
+                    k,
                 )
                 losses.append(float(metrics["train_loss"]))
                 lrs.append(float(sched(step)))

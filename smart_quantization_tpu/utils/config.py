@@ -121,10 +121,22 @@ def add_imdb_args(parser: argparse.ArgumentParser) -> None:
 
 def add_trainer_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--max_epochs", type=int, default=1)
+    parser.add_argument(
+        "--max_time", type=parse_max_time, default=None,
+        help="wall-clock training budget as DD:HH:MM:SS or plain seconds "
+             "(the Lightning Trainer flag the reference's perf smoke uses, "
+             "scripts/train.ps1:1 --max_time 00:00:00:10); fit() stops "
+             "gracefully at the next drain point",
+    )
     parser.add_argument("--auto_lr_find", action="store_true")
     parser.add_argument("--auto_scale_batch_size", action="store_true")
-    parser.add_argument("--limit_train_batches", type=int)
-    parser.add_argument("--limit_val_batches", type=int)
+    parser.add_argument(
+        "--limit_train_batches", type=float,
+        help="cap train batches per epoch: an int count, or a 0<f<1 "
+             "fraction of the epoch (Lightning semantics, the reference's "
+             "debug config uses 0.5, .vscode/launch.json:13)",
+    )
+    parser.add_argument("--limit_val_batches", type=float)
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument(
         "--no_terminate_on_nan", action="store_false", dest="terminate_on_nan"
@@ -290,6 +302,19 @@ def parse_args(argv: list[str] | str | None = None) -> argparse.Namespace:
     elif args.tags:
         args.name += f"-{args.tags}"
     return args
+
+
+def parse_max_time(s: str) -> float:
+    """``DD:HH:MM:SS`` (the Lightning format) or plain seconds -> seconds."""
+    parts = s.split(":")
+    if len(parts) == 1:
+        return float(s)
+    if len(parts) != 4:
+        raise argparse.ArgumentTypeError(
+            f"--max_time wants DD:HH:MM:SS or seconds, got {s!r}"
+        )
+    d, h, m, sec = (int(p) for p in parts)
+    return float(((d * 24 + h) * 60 + m) * 60 + sec)
 
 
 def git_run_tag(name: str, create_tag: bool = True) -> str | None:

@@ -119,3 +119,50 @@ def test_git_run_tag(tmp_path, monkeypatch):
     ).stdout
     assert "run/myrun" in tags
     assert parse_args("--git").git
+
+
+def test_max_time_and_fractional_limits():
+    """--max_time DD:HH:MM:SS (Lightning format, scripts/train.ps1:1) and
+    fractional --limit_train_batches (.vscode/launch.json:13) parse like the
+    reference's Trainer flags."""
+    from smart_quantization_tpu.utils.config import parse_max_time
+
+    assert parse_max_time("00:00:00:10") == 10.0
+    assert parse_max_time("01:02:03:04") == ((24 + 2) * 60 + 3) * 60 + 4
+    assert parse_max_time("90") == 90.0
+    args = parse_args("--max_time 00:00:01:00 --limit_train_batches 0.5")
+    assert args.max_time == 60.0
+    assert args.limit_train_batches == 0.5
+
+
+def test_fractional_limit_resolution_and_max_time_stop():
+    """The Trainer resolves fractions against the epoch length and stops at
+    max_time_s without finishing the epoch."""
+    import jax
+    import numpy as np
+
+    from smart_quantization_tpu.data.cifar import CIFAR10Data
+    from smart_quantization_tpu.models.tiny import TinyCNN
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+    from smart_quantization_tpu.train.metrics import MetricLogger
+    from smart_quantization_tpu.optim.compressed import build_optimizer
+
+    data = CIFAR10Data(batch_size=64)  # synthetic: 2048 rows -> 32 steps
+    assert Trainer._resolve_limit(0.25, data.steps_per_epoch) == 8
+    assert Trainer._resolve_limit(3, 32) == 3
+    assert Trainer._resolve_limit(None, 32) is None
+    assert data.val_steps_per_epoch > 0
+
+    model = TinyCNN(num_classes=10, tap=None)
+    trainer = Trainer(
+        model, data, build_optimizer("sgd", 0.05),
+        config=TrainConfig(epochs=50, log_every=1, max_time_s=0.0,
+                           limit_val_batches=1),
+        logger=MetricLogger(None),
+    )
+    state = trainer.fit()
+    # max_time_s=0 stops at the first drain: exactly one step committed
+    assert int(state.step) == 1
+    assert np.isfinite(
+        float(jax.tree.leaves(state.params)[0].sum())
+    )

@@ -69,6 +69,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         limit_train_batches=args.limit_train_batches,
         limit_val_batches=args.limit_val_batches,
+        max_time_s=args.max_time,
         seed=args.seed,
         measure_average_grad_norm=args.measure_average_grad_norm,
         steps_per_call=args.steps_per_call,
