@@ -92,7 +92,7 @@ def main():
     out = {}
     for n in (1 << 26,):
         out[f"ceiling_n{n}"] = round(bench_ceiling(n), 1)
-        for br in (512, 1024):
+        for br in (256, 512, 1024):
             try:
                 out[f"kernel_n{n}_rows{br}"] = round(bench_kernel(n, br), 1)
             except Exception as e:  # e.g. VMEM OOM at 4 MB blocks
@@ -100,6 +100,10 @@ def main():
             print(json.dumps(out), flush=True)
         out[f"ceiling2_n{n}"] = round(bench_ceiling(n), 1)
         print(json.dumps(out), flush=True)
+    res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+    os.makedirs(res, exist_ok=True)
+    with open(os.path.join(res, "kernel_tune.json"), "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":
