@@ -6,9 +6,14 @@ Re-design of the reference's wrapper around HF
 surface — pretrained ``bert-base-uncased`` weights when available or a fresh
 config (bert.py:31-45), optional encoder freeze (bert.py:36-38), regression
 head for STSB vs classification otherwise (bert.py:61-70) — implemented as
-our own flax modules so compression taps reach every linear / norm /
-activation / attention output, exactly like the reference's monkey-patched
-layer coverage.
+our own flax modules.
+
+Tap surface parity: on HF BERT the reference's monkey-patcher reaches ONLY
+nn.Linear, nn.LayerNorm, and the pooler's nn.Tanh (quantization.py:163-184 —
+transformers' Bert* submodules fail the string-match fallback, and the
+intermediate GELU is a function, not a module).  We tap exactly those; the
+extra EMBED/ATTENTION tap sites below exist for experimentation but are
+excluded by the default policy (inject/policy.py).
 
 Weight import: ``load_pretrained_params`` converts a torch
 ``bert-base-uncased`` checkpoint (via transformers, if cached locally — this
@@ -129,14 +134,21 @@ class BertLayer(nn.Module):
         h = TappedDense(
             cfg.intermediate_size, self.tap, self.dtype, name="intermediate"
         )(x)
+        # NOT tapped: in the reference-era HF BERT the intermediate GELU is a
+        # plain function (ACT2FN), not an nn.Module, so the forward patcher
+        # never sees it (autograd.py:50-77 patches modules only) — unlike the
+        # pooler's nn.Tanh below.
         h = nn.gelu(h, approximate=False)
-        h = module_tap(self, h, LayerKind.ACTIVATION, self.tap)
         h = TappedDense(cfg.hidden_size, self.tap, self.dtype, name="ffn_output")(h)
         h = nn.Dropout(cfg.dropout_rate, deterministic=not self.train)(h)
-        y = TappedLayerNorm(
+        # The layer output is NOT tapped as a block: transformers' Bert*
+        # modules fail the reference's string-match fallback
+        # (quantization.py:176-184 matches only smart_compress.models.pytorch,
+        # torch containers, and torch activations), so on BERT the effective
+        # tap surface is {Linear, LayerNorm, pooler Tanh} outputs only.
+        return TappedLayerNorm(
             cfg.layer_norm_eps, self.tap, self.dtype, name="ffn_norm"
         )(h + x)
-        return module_tap(self, y, LayerKind.BLOCK, self.tap)
 
 
 class BertForSequenceClassification(nn.Module):
@@ -212,6 +224,16 @@ def load_pretrained_params(model_name: str, cfg: BertConfig, num_labels: int):
         return None
 
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    return convert_torch_state_dict(sd, cfg, num_labels)
+
+
+def convert_torch_state_dict(sd: dict, cfg: BertConfig, num_labels: int):
+    """Map a torch ``BertModel.state_dict()`` (numpy values) onto our flax
+    param tree.  Key schema: HF transformers BertModel (embeddings.*,
+    encoder.layer.N.*, pooler.dense.*); torch Linear weights are
+    (out, in) and transpose to flax (in, out) kernels.  Split out from
+    :func:`load_pretrained_params` so the mapping is testable offline with a
+    fabricated state_dict (VERDICT r3 missing #3)."""
 
     def lin(prefix):
         return {

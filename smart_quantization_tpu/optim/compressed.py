@@ -176,19 +176,18 @@ def build_optimizer(
 
 
 def norm_param_mask(params: Any) -> Any:
-    """True for leaves belonging to normalization layers (exempt from weight
+    """True for leaves belonging to BATCH-norm layers (exempt from weight
     compression, mirroring models/base.py:141-150).
 
-    Convention: our flax models name norm submodules with 'bn'/'norm' in the
-    path (BatchNorm defaults to 'bn*', LayerNorm to '*norm*').
+    The reference's exemption is ``type(child) == nn.BatchNorm2d`` exactly
+    (models/base.py:142) — BERT's LayerNorm parameters are NOT exempt there
+    and do get weight-quantized.  Our flax models name BatchNorm submodules
+    'bn*' (LayerNorms are '*norm*' and deliberately NOT matched here).
     """
 
     def path_is_norm(path) -> bool:
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        return any(
-            isinstance(n, str) and ("bn" in n.lower() or "norm" in n.lower())
-            for n in names
-        )
+        return any(isinstance(n, str) and "bn" in n.lower() for n in names)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: path_is_norm(path), params
