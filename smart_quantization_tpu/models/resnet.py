@@ -75,7 +75,7 @@ class BasicBlock(nn.Module):
         y = module_tap(self, y, LayerKind.ACTIVATION, self.tap)
         y = nn.Conv(
             self.filters, (3, 3), padding=1, use_bias=False,
-            kernel_init=_conv_init, name="conv2",
+            dtype=self.dtype, kernel_init=_conv_init, name="conv2",
         )(y)
         y = module_tap(self, y, LayerKind.CONV, self.tap)
         y = TappedBatchNorm(self.tap, not self.train, dtype=self.dtype, zero_init=True, name="bn2")(y)

@@ -243,18 +243,24 @@ def smaq_fused(
             # full stats in ONE fused read: sum and sum-of-squares reduce
             # together (jnp.mean-then-std costs two passes over HBM), so
             # full-stats mode moves 3 passes total (stats read + kernel
-            # read + write) instead of 4.  E[x^2]-E[x]^2 with a zero clamp:
-            # ulp-level differences vs the two-pass reference formulation
-            # can flip bucket-boundary elements (the conformance tests
-            # bound that); cancellation only bites when |mean| >> std,
-            # where the clamp (and the kernel's zero-std guard) keep it
-            # safe.  The jnp reference path (ops/smaq.py) keeps the
-            # torch-matching two-pass math.
+            # read + write) instead of 4.  The sums are SHIFTED by the
+            # first element (West's shifted-data variance): raw
+            # E[x^2]-E[x]^2 cancels catastrophically in f32 when
+            # |mean| >> std (ADVICE r3 — mean 1e3 / std 1e-2 zeroed the
+            # variance entirely); with the pivot inside the data range the
+            # subtraction is conditioned on the spread, not the magnitude.
+            # XLA fuses the broadcast subtract into the same read pass.
+            # Ulp-level differences vs the two-pass reference formulation
+            # can still flip bucket-boundary elements (the conformance
+            # tests bound that); the jnp reference path (ops/smaq.py)
+            # keeps the torch-matching two-pass math.
             flat0 = xf.reshape(-1)
-            s1 = jnp.sum(flat0)
-            s2 = jnp.sum(flat0 * flat0)
+            pivot = jax.lax.dynamic_slice(flat0, (0,), (1,))[0]
+            d = flat0 - pivot
+            s1 = jnp.sum(d)
+            s2 = jnp.sum(d * d)
             nn = jnp.float32(n)
-            mean = s1 / nn
+            mean = pivot + s1 / nn
             var = jnp.maximum(
                 (s2 - s1 * (s1 / nn)) / jnp.maximum(nn - 1.0, 1.0), 0.0
             )

@@ -39,16 +39,28 @@ def init_multihost(
     )
     if want_init:
         # NOTE: must run before anything touches a backend (even
-        # jax.process_count() would initialize one and poison this call)
-        try:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        except RuntimeError as e:
-            if "already initialized" not in str(e):
-                raise
+        # jax.process_count() would initialize one and poison this call).
+        # A second call is a no-op: check the client first (the message of
+        # the RuntimeError differs across JAX versions — 0.9.0 says
+        # "should only be called once", older said "already initialized").
+        already = (
+            getattr(jax._src.distributed.global_state, "client", None)
+            is not None
+        )
+        if not already:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as e:
+                msg = str(e)
+                if (
+                    "already initialized" not in msg
+                    and "only be called once" not in msg
+                ):
+                    raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -387,11 +387,16 @@ class Trainer:
 
     @staticmethod
     def _resolve_limit(v, total):
-        """Lightning limit semantics: None, an int count, or a 0<f<1
-        fraction of ``total`` batches."""
+        """Lightning limit semantics: None, an int batch count, or a float
+        fraction 0 < f <= 1.0 of ``total`` batches.
+
+        The CLI parses the flag as float, so a Lightning-style ``1.0`` means
+        the WHOLE epoch (only the int ``1`` means one batch)."""
         if v is None:
             return None
-        if 0 < v < 1:
+        if isinstance(v, float) and 0 < v <= 1.0:
+            if v == 1.0:
+                return None  # 100% of the epoch == no limit
             return max(1, int(v * total)) if total else None
         return int(v)
 

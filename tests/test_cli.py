@@ -151,6 +151,11 @@ def test_fractional_limit_resolution_and_max_time_stop():
     assert Trainer._resolve_limit(0.25, data.steps_per_epoch) == 8
     assert Trainer._resolve_limit(3, 32) == 3
     assert Trainer._resolve_limit(None, 32) is None
+    # Lightning semantics: float 1.0 = 100% of the epoch (no limit),
+    # int 1 = exactly one batch (ADVICE r3)
+    assert Trainer._resolve_limit(1.0, 32) is None
+    assert Trainer._resolve_limit(1, 32) == 1
+    assert Trainer._resolve_limit(5.0, 32) == 5
     assert data.val_steps_per_epoch > 0
 
     model = TinyCNN(num_classes=10, tap=None)

@@ -151,6 +151,30 @@ class TestFusedKernelInterpret:
         # size may differ by the flipped elements' 2-bit delta
         assert abs(float(bits_k) - float(bits_ref)) <= 2 * flipped.sum() + 1e-3
 
+    def test_full_stats_ill_conditioned(self):
+        """|mean| >> std (ADVICE r3): raw E[x^2]-E[x]^2 in f32 cancels
+        catastrophically (variance collapses to ~0 and quantization silently
+        degenerates); the shifted-by-pivot one-pass sums must track the
+        two-pass reference stats."""
+        from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused
+
+        params = make_params()
+        x = jax.random.normal(jax.random.key(3), (65536,)) * 1e-2 + 1e3
+        y_ref, bits_ref = smaq_quantize_dequantize(x, None, params)
+        y_k, bits_k = smaq_fused(x, None, params, interpret=True)
+        # the round-trip must preserve the tensor's structure around its
+        # mean: compare the quantization ERROR of both paths
+        err_ref = np.asarray(y_ref) - np.asarray(x)
+        err_k = np.asarray(y_k) - np.asarray(x)
+        assert np.std(err_k) < 2 * np.std(err_ref) + 1e-6
+        # the degenerate failure mode maps everything to ~mean: the output
+        # must still correlate with the input's deviations
+        dev = np.asarray(x) - np.mean(np.asarray(x))
+        dev_k = np.asarray(y_k) - np.mean(np.asarray(y_k))
+        corr = np.corrcoef(dev, dev_k)[0, 1]
+        assert corr > 0.99
+        assert abs(float(bits_k) - float(bits_ref)) < 0.02 * float(bits_ref)
+
     def test_stochastic_statistics_match(self):
         from smart_quantization_tpu.ops.pallas.smaq_kernel import smaq_fused
 
