@@ -68,6 +68,12 @@ class ImageClassificationTask:
         return {"compress": k_fwd}
 
     def eval_rngs(self) -> dict:
+        # DELIBERATE deviation (documented, PARITY.md): the reference draws
+        # fresh torch global RNG for eval-time compression every call; we use
+        # a constant key, so eval stochastic-rounding noise is identical
+        # across batches/epochs.  The noise is zero-mean either way — a fixed
+        # realization cannot bias val metrics, and pairing it across epochs
+        # removes rounding jitter from epoch-to-epoch comparisons.
         return {"compress": jax.random.key(0)}
 
     def loss(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -135,6 +141,8 @@ class SequenceClassificationTask:
         return {"compress": k_fwd, "dropout": k_extra}
 
     def eval_rngs(self) -> dict:
+        # constant eval key — deliberate, documented deviation; see
+        # ImageClassificationTask.eval_rngs
         return {"compress": jax.random.key(0)}
 
     def loss(self, logits: jax.Array, labels: jax.Array) -> jax.Array:
