@@ -147,10 +147,73 @@ def main():
 
         return g
 
+    # float_quantize (e5m2) + S2FP8 fused kernels vs their jnp paths — the
+    # role of qtorch's CUDA float_quantize, which backs 4 of the reference's
+    # 6 encoders (util/pytorch/quantization.py:187-204).  VERDICT r3 #5: we
+    # claimed kernels but published no bandwidth.
+    from smart_quantization_tpu.ops.float_format import (
+        FP8_FORMAT,
+        float_quantize,
+    )
+    from smart_quantization_tpu.ops.pallas.float_kernel import (
+        float_quantize_fused,
+    )
+    from smart_quantization_tpu.ops.pallas.s2fp8_kernel import s2fp8_fused
+    from smart_quantization_tpu.ops.s2fp8 import s2fp8_quantize_dequantize
+
+    def make_float_chain(k_iters):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y = float_quantize_fused(y, FP8_FORMAT, seed=base_seed + i)
+            return jnp.sum(y[:8])
+
+        return g
+
+    def make_float_jnp_chain(k_iters):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y = float_quantize(
+                    y, FP8_FORMAT,
+                    jax.random.fold_in(jax.random.key(0), base_seed + i),
+                )
+            return jnp.sum(y[:8])
+
+        return g
+
+    def make_s2fp8_chain(k_iters):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y = s2fp8_fused(y, seed=base_seed + i)
+            return jnp.sum(y[:8])
+
+        return g
+
+    def make_s2fp8_jnp_chain(k_iters):
+        @jax.jit
+        def g(x, base_seed):
+            y = x
+            for i in range(k_iters):
+                y = s2fp8_quantize_dequantize(
+                    y, jax.random.fold_in(jax.random.key(0), base_seed + i)
+                )
+            return jnp.sum(y[:8])
+
+        return g
+
     dt = slope_ms(make_chain)
     dt_full = slope_ms(make_chain_full)
     dt_telemetry = slope_ms(functools.partial(make_chain, compute_size=True))
     dt_ceiling = slope_ms(make_ceiling_chain)
+    dt_float = slope_ms(make_float_chain)
+    dt_float_jnp = slope_ms(make_float_jnp_chain)
+    dt_s2fp8 = slope_ms(make_s2fp8_chain)
+    dt_s2fp8_jnp = slope_ms(make_s2fp8_jnp_chain)
 
     bytes_moved = n * 4 * 2  # fp32 read + fp32 write
     gbs = bytes_moved / dt / 1e9
@@ -186,6 +249,15 @@ def main():
             gbs_full_traffic / ceiling_gbs, 4
         ) if ceiling_gbs > 0 else 0.0,
         "with_size_telemetry_gbs": round(gbs_telemetry, 2),
+        # qtorch-role kernels (float e5m2 + S2FP8): fused Pallas vs the jnp
+        # path XLA compiles from ops/float_format.py / ops/s2fp8.py.  All
+        # quote 2-pass (read+write) bytes; s2fp8's real traffic includes a
+        # stats read (3 passes), reported separately like full-stats SmaQ
+        "float_e5m2_fused_gbs": round(bytes_moved / dt_float / 1e9, 2),
+        "float_e5m2_jnp_gbs": round(bytes_moved / dt_float_jnp / 1e9, 2),
+        "s2fp8_fused_gbs": round(bytes_moved / dt_s2fp8 / 1e9, 2),
+        "s2fp8_fused_traffic_gbs": round(n * 4 * 3 / dt_s2fp8 / 1e9, 2),
+        "s2fp8_jnp_gbs": round(bytes_moved / dt_s2fp8_jnp / 1e9, 2),
         "measured_elementwise_ceiling_gbs": round(ceiling_gbs, 2),
         "fraction_of_measured_ceiling": round(
             gbs / ceiling_gbs, 4
