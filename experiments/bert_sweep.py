@@ -98,6 +98,13 @@ def main():
     ap.add_argument("--val_n", type=int, default=1024)
     ap.add_argument("--steps_per_call", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    # The reference's BERT/STSB row is a FINE-TUNE of pretrained weights
+    # (README.md:58) — pretrained bert-base is offline-unavailable, so the
+    # stand-in is W epochs of FP32 training (shared trajectory, same seed)
+    # before switching to the encoder under test.  0 = from-scratch.
+    ap.add_argument("--fp32_warmup_epochs", type=int, default=0)
+    ap.add_argument("--warmup_learning_rate", type=float, default=None,
+                    help="lr for the warmup phase (default: --learning_rate)")
     ap.add_argument("--out", default="bert_sweep_results.json")
     args = ap.parse_args()
 
@@ -137,6 +144,48 @@ def main():
                         "unless the encoder spec carries @ablations",
         }
     }
+    warm_params = None
+    if args.fp32_warmup_epochs > 0:
+        # one shared FP32 "pretraining" trajectory; every encoder fine-tunes
+        # from the SAME params with a fresh optimizer (the reference
+        # fine-tunes pretrained weights with a fresh AdamW, README.md:58)
+        import jax as _jax
+
+        wdata = GLUEData(
+            task="stsb", batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
+            max_input_length=args.max_input_length,
+            synthetic_train=args.train_n, synthetic_val=args.val_n,
+        )
+        wmodel = BertForSequenceClassification(
+            BertConfig.tiny(), num_labels=wdata.num_labels, tap=None
+        )
+        wlogger = _HistoryLogger()
+        wtrainer = BertTrainer(
+            wmodel, wdata,
+            build_optimizer(
+                "adamw", args.warmup_learning_rate or args.learning_rate,
+                weight_decay=args.weight_decay, epsilon=args.epsilon,
+            ),
+            tap_cfg=None,
+            optim_comp=OptimizerCompression(compressor=None),
+            config=TrainConfig(
+                epochs=args.fp32_warmup_epochs, log_every=200,
+                steps_per_call=args.steps_per_call, seed=args.seed,
+            ),
+            logger=wlogger, task="stsb",
+        )
+        wstate = wtrainer.fit()
+        wval = wtrainer.evaluate(wstate)
+        warm_params = _jax.device_get(wstate.params)
+        results["_meta"]["fp32_warmup_epochs"] = args.fp32_warmup_epochs
+        results["_meta"]["warmup_final_correlation"] = round(
+            wval.get("val_pearson_spearman_mean", float("nan")), 4
+        )
+        print(f"[warmup] {args.fp32_warmup_epochs} fp32 epochs -> "
+              f"corr={results['_meta']['warmup_final_correlation']}",
+              flush=True)
+
     for enc in args.encoders:
         t0 = time.time()
         base, cov = parse_encoder_spec(enc)
@@ -180,7 +229,23 @@ def main():
             logger=logger,
             task="stsb",
         )
-        state = trainer.fit()
+        if warm_params is not None:
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from smart_quantization_tpu.train.state import TrainState
+
+            key0 = _jax.random.key(args.seed)
+            s0 = trainer.init_state(_jax.random.fold_in(key0, 99))
+            s0 = TrainState(
+                s0.step,
+                _jax.tree.map(_jnp.asarray, warm_params),
+                s0.batch_stats,
+                s0.opt_state,
+            )
+            state = trainer.fit(s0)
+        else:
+            state = trainer.fit()
         val = trainer.evaluate(state)
         ratios = trainer.ratio_acc.summary()
         mean_corr = (

@@ -151,5 +151,6 @@ def run_bert(args):
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
     state = trainer.fit(state)
     final = trainer.evaluate(state)
+    final.update(trainer.ratio_acc.summary())
     print("final:", final)
     return final

@@ -45,7 +45,15 @@ class ImageClassificationTask:
         return jnp.zeros((2,) + self.image_shape, jnp.float32)
 
     def init_rngs(self, k_param: jax.Array, k_comp: jax.Array) -> dict:
-        return {"params": k_param, "compress": k_comp}
+        # 'dropout' rides a fold of the compress key: ResNet ignores it,
+        # Inception-v3 draws it for its pre-fc dropout
+        # (models/inception.py:223-224; reference pytorch/inception.py uses
+        # F.dropout in training mode)
+        return {
+            "params": k_param,
+            "compress": k_comp,
+            "dropout": jax.random.fold_in(k_comp, 7),
+        }
 
     def split_batch(self, batch) -> tuple[Any, Any]:
         images, labels = batch
@@ -65,7 +73,7 @@ class ImageClassificationTask:
         return (inputs,)
 
     def train_rngs(self, k_fwd: jax.Array, k_extra: jax.Array) -> dict:
-        return {"compress": k_fwd}
+        return {"compress": k_fwd, "dropout": k_extra}
 
     def eval_rngs(self) -> dict:
         # DELIBERATE deviation (documented, PARITY.md): the reference draws
