@@ -46,6 +46,8 @@ def parse_encoder_spec(spec: str):
     Ablation tokens (for root-causing instability, VERDICT r3 missing #1):
       nofwd / nobwd      — disable forward / backward (gradient-map) taps
       noweights / nograds / nomom — disable that optimizer-side structure
+      nonu               — momentum quantization skips Adam's second moment
+                           (the only all_positive call site) but keeps mu
       optonly            — taps fully off (optimizer-side only)
       fwdonly            — taps forward-only, optimizer-side off
     """
@@ -53,7 +55,7 @@ def parse_encoder_spec(spec: str):
     toggles = {
         "compress_forward": True, "compress_backward": True,
         "compress_weights": True, "compress_gradients": True,
-        "compress_momentum": True,
+        "compress_momentum": True, "skip_nu": False,
     }
     for tok in filter(None, abl.split(",")):
         if tok == "nofwd":
@@ -66,6 +68,8 @@ def parse_encoder_spec(spec: str):
             toggles["compress_gradients"] = False
         elif tok == "nomom":
             toggles["compress_momentum"] = False
+        elif tok == "nonu":
+            toggles["skip_nu"] = True
         elif tok == "optonly":
             toggles["compress_forward"] = toggles["compress_backward"] = False
         elif tok == "fwdonly":
@@ -76,6 +80,35 @@ def parse_encoder_spec(spec: str):
         else:
             raise ValueError(f"unknown ablation token {tok!r} in {spec!r}")
     return base, toggles
+
+
+def make_skip_nu(inner):
+    """Wrap a compressor so all_positive calls (exactly Adam's nu,
+    optim/compressed.py::_map_momentum_state) pass through unquantized."""
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    from smart_quantization_tpu.compress.base import SizeStats
+
+    @_dc.dataclass(frozen=True)
+    class _SkipNu:
+        inner: object
+
+        @property
+        def name(self):
+            return getattr(self.inner, "name", "wrapped")
+
+        @property
+        def params(self):
+            return getattr(self.inner, "params", None)
+
+        def __call__(self, x, key, *, all_positive=False, **kw):
+            if all_positive:
+                return x, SizeStats.of(x.size, 32, 32)
+            return self.inner(x, key, all_positive=all_positive, **kw)
+
+    return _SkipNu(inner)
 
 
 def main():
@@ -213,7 +246,7 @@ def main():
             ),
             tap_cfg=tap,
             optim_comp=OptimizerCompression(
-                compressor=comp,
+                compressor=(make_skip_nu(comp) if cov["skip_nu"] else comp),
                 compress_weights=cov["compress_weights"],
                 compress_gradients=cov["compress_gradients"],
                 compress_momentum=cov["compress_momentum"],
