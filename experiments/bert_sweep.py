@@ -48,6 +48,7 @@ def parse_encoder_spec(spec: str):
       noweights / nograds / nomom — disable that optimizer-side structure
       nonu               — momentum quantization skips Adam's second moment
                            (the only all_positive call site) but keeps mu
+      rowmom             — per-row momentum stats (--momentum_rowwise)
       optonly            — taps fully off (optimizer-side only)
       fwdonly            — taps forward-only, optimizer-side off
     """
@@ -55,7 +56,7 @@ def parse_encoder_spec(spec: str):
     toggles = {
         "compress_forward": True, "compress_backward": True,
         "compress_weights": True, "compress_gradients": True,
-        "compress_momentum": True, "skip_nu": False,
+        "compress_momentum": True, "skip_nu": False, "rowwise": False,
     }
     for tok in filter(None, abl.split(",")):
         if tok == "nofwd":
@@ -70,6 +71,8 @@ def parse_encoder_spec(spec: str):
             toggles["compress_momentum"] = False
         elif tok == "nonu":
             toggles["skip_nu"] = True
+        elif tok == "rowmom":
+            toggles["rowwise"] = True
         elif tok == "optonly":
             toggles["compress_forward"] = toggles["compress_backward"] = False
         elif tok == "fwdonly":
@@ -138,6 +141,12 @@ def main():
     ap.add_argument("--fp32_warmup_epochs", type=int, default=0)
     ap.add_argument("--warmup_learning_rate", type=float, default=None,
                     help="lr for the warmup phase (default: --learning_rate)")
+    # model dims (default: bert-tiny).  --hidden 768 --heads 12
+    # --intermediate 3072 tests at the reference's bert-base width
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=2)
+    ap.add_argument("--intermediate", type=int, default=128)
     ap.add_argument("--out", default="bert_sweep_results.json")
     args = ap.parse_args()
 
@@ -177,6 +186,15 @@ def main():
                         "unless the encoder spec carries @ablations",
         }
     }
+    model_cfg = BertConfig(
+        vocab_size=30522, hidden_size=args.hidden, num_layers=args.layers,
+        num_heads=args.heads, intermediate_size=args.intermediate,
+        max_position_embeddings=512,
+    )
+    results["_meta"]["model_dims"] = (
+        f"L{args.layers} H{args.hidden} A{args.heads} I{args.intermediate}"
+    )
+
     warm_params = None
     if args.fp32_warmup_epochs > 0:
         # one shared FP32 "pretraining" trajectory; every encoder fine-tunes
@@ -191,7 +209,7 @@ def main():
             synthetic_train=args.train_n, synthetic_val=args.val_n,
         )
         wmodel = BertForSequenceClassification(
-            BertConfig.tiny(), num_labels=wdata.num_labels, tap=None
+            model_cfg, num_labels=wdata.num_labels, tap=None
         )
         wlogger = _HistoryLogger()
         wtrainer = BertTrainer(
@@ -235,7 +253,7 @@ def main():
             synthetic_train=args.train_n, synthetic_val=args.val_n,
         )
         model = BertForSequenceClassification(
-            BertConfig.tiny(), num_labels=data.num_labels, tap=tap
+            model_cfg, num_labels=data.num_labels, tap=tap
         )
         logger = _HistoryLogger()
         trainer = BertTrainer(
@@ -250,6 +268,7 @@ def main():
                 compress_weights=cov["compress_weights"],
                 compress_gradients=cov["compress_gradients"],
                 compress_momentum=cov["compress_momentum"],
+                momentum_rowwise=cov["rowwise"],
             ),
             loss_compressor=comp,
             config=TrainConfig(

@@ -68,6 +68,17 @@ class OptimizerCompression:
     # rather than after the first step (documented; they would be quantized
     # one step later anyway).
     packed_weights: bool = False
+    # BEYOND-REFERENCE stability fix (--momentum_rowwise): quantize each
+    # momentum leaf with PER-ROW (leading-axis) statistics instead of
+    # per-tensor.  Root cause it addresses (BASELINE.md round-4 analysis):
+    # per-tensor z-score quantization of Adam's mu injects leaf-scale noise
+    # sigma_mu/15 into every element, which Adam amplifies by 1/sqrt(nu_hat)
+    # ~ 1/|g_elem| — unbounded when per-element gradient magnitudes within a
+    # leaf are heterogeneous (embedding tables, attention kernels).  Row
+    # stats bound the amplification to the within-row spread.  Costs 64
+    # bits/row of stats overhead (counted in the size telemetry); applies to
+    # the fake-quant momentum path (packed_momentum stays per-shard/tensor).
+    momentum_rowwise: bool = False
 
     @property
     def active(self) -> bool:
@@ -194,14 +205,39 @@ def norm_param_mask(params: Any) -> Any:
     )
 
 
-def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=None):
-    """Quantize every leaf with per-leaf keys; returns (tree, orig_bits, new_bits)."""
+def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=None,
+                   rowwise=False):
+    """Quantize every leaf with per-leaf keys; returns (tree, orig_bits, new_bits).
+
+    ``rowwise``: rank>=2 leaves are quantized per leading-axis row (vmapped
+    compressor, one (mean, std) pair per row = 64 bits overhead each,
+    counted); rank-1 leaves keep per-tensor stats.  See
+    ``OptimizerCompression.momentum_rowwise``."""
     keys = tree_split(key, tree)
     totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
     def one(leaf, k, skip, all_pos):
         if skip:
             return leaf
+        if rowwise and leaf.ndim >= 2 and leaf.shape[0] >= 2:
+            rows = leaf.reshape(leaf.shape[0], -1)
+            row_keys = jax.random.split(k, rows.shape[0])
+            # vmapping a pallas_call is unsupported on this backend; per-row
+            # tensors are small anyway, so force the jnp path under vmap
+            row_comp = compressor
+            if dataclasses.is_dataclass(row_comp) and hasattr(
+                row_comp, "use_pallas"
+            ):
+                row_comp = dataclasses.replace(row_comp, use_pallas=False)
+            y, stats = jax.vmap(
+                lambda r, kk: row_comp(r, kk, all_positive=all_pos)
+            )(rows, row_keys)
+            totals["orig"] = totals["orig"] + jnp.sum(stats.orig_bits)
+            totals["new"] = (
+                totals["new"] + jnp.sum(stats.new_bits)
+                + jnp.float32(rows.shape[0] * 64)
+            )
+            return y.reshape(leaf.shape)
         y, stats = compressor(leaf, k, all_positive=all_pos)
         totals["orig"] = totals["orig"] + stats.orig_bits
         totals["new"] = totals["new"] + stats.new_bits
@@ -465,6 +501,7 @@ def compressed_optimizer_step(
                 out, o, n = _quantize_tree(
                     tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
                     all_positive_tree=ap_tree,
+                    rowwise=compression.momentum_rowwise,
                 )
                 totals["orig"] = totals["orig"] + o
                 totals["new"] = totals["new"] + n

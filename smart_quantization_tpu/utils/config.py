@@ -196,6 +196,13 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "decoded at step entry (single-chip; requires --compress smart)",
     )
     parser.add_argument(
+        "--momentum_rowwise", action="store_true",
+        help="quantize optimizer momentum with per-row (leading-axis) stats "
+             "instead of per-tensor — bounds the Adam noise amplification "
+             "that destroys full-coverage fine-tunes (BASELINE.md round-4 "
+             "root cause); 64 bits/row overhead, counted",
+    )
+    parser.add_argument(
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
@@ -395,6 +402,7 @@ def build_components(
         use_weight_accumulator=getattr(args, "use_weight_accumulator", False),
         packed_momentum=getattr(args, "packed_momentum", False),
         packed_weights=getattr(args, "packed_weights", False),
+        momentum_rowwise=getattr(args, "momentum_rowwise", False),
     ) if compressor is not None else OptimizerCompression()
     if optim_comp.packed_momentum or optim_comp.packed_weights:
         from smart_quantization_tpu.optim.compressed import packed_smaq_params

@@ -213,6 +213,52 @@ class TestCompressedOptimizer:
         for leaf in jax.tree.leaves(adam_state.nu):
             assert float(jnp.min(leaf)) >= 0.0  # all_positive clamp held
 
+    def test_momentum_rowwise(self):
+        """--momentum_rowwise: per-row stats bound the Adam noise
+        amplification (BASELINE.md round-4 root cause).  A leaf with wildly
+        heterogeneous rows must keep small-row momentum intact under
+        row-wise quantization where per-tensor stats would flatten it."""
+        spec = build_optimizer("adam", 0.001)
+        # row 0: tiny gradients (1e-4); row 1: huge (1e2) — per-tensor sigma
+        # is ~1e2, so row 0's mu quantizes to garbage; per-row keeps it
+        params = {"emb": jnp.zeros((2, 64))}
+        grads = {
+            "emb": jnp.concatenate(
+                [
+                    1e-4 * (1 + jnp.arange(64, dtype=jnp.float32))[None, :] / 64,
+                    1e2 * (1 + jnp.arange(64, dtype=jnp.float32))[None, :] / 64,
+                ]
+            )
+        }
+        state = spec.tx.init(params)
+
+        def run(rowwise):
+            comp = OptimizerCompression(
+                compressor=build_compressor(
+                    "smart", use_pallas=False, stochastic_rounding=False
+                ),
+                compress_weights=False,
+                compress_gradients=False,
+                momentum_rowwise=rowwise,
+            )
+            _, s2, m = compressed_optimizer_step(
+                spec, params, grads, state, jax.random.key(0), comp
+            )
+            return s2[0].mu["emb"], m["optimizer_momentum"]
+
+        mu_row, m_row = run(True)
+        mu_tensor, m_tensor = run(False)
+        true_mu = 0.1 * np.asarray(grads["emb"])
+        # per-row: row 0 relative error stays small
+        rel_row = np.abs(np.asarray(mu_row)[0] - true_mu[0]) / np.abs(true_mu[0])
+        rel_tensor = (
+            np.abs(np.asarray(mu_tensor)[0] - true_mu[0]) / np.abs(true_mu[0])
+        )
+        assert np.median(rel_row) < 0.2
+        assert np.median(rel_tensor) > 0.5  # per-tensor flattens row 0
+        # 64 bits/row stats overhead counted
+        assert float(m_row[1]) > float(m_tensor[1])
+
     def test_momentum_skipped_when_sgd_no_momentum(self):
         spec = build_optimizer("sgd", 0.1, momentum=0.0)
         assert not spec.has_momentum
