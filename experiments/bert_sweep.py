@@ -49,6 +49,7 @@ def parse_encoder_spec(spec: str):
       nonu               — momentum quantization skips Adam's second moment
                            (the only all_positive call site) but keeps mu
       rowmom             — per-row momentum stats (--momentum_rowwise)
+      lognu              — log2-domain nu codec (--momentum_log_nu)
       optonly            — taps fully off (optimizer-side only)
       fwdonly            — taps forward-only, optimizer-side off
     """
@@ -57,6 +58,7 @@ def parse_encoder_spec(spec: str):
         "compress_forward": True, "compress_backward": True,
         "compress_weights": True, "compress_gradients": True,
         "compress_momentum": True, "skip_nu": False, "rowwise": False,
+        "log_nu": False,
     }
     for tok in filter(None, abl.split(",")):
         if tok == "nofwd":
@@ -73,6 +75,8 @@ def parse_encoder_spec(spec: str):
             toggles["skip_nu"] = True
         elif tok == "rowmom":
             toggles["rowwise"] = True
+        elif tok == "lognu":
+            toggles["log_nu"] = True
         elif tok == "optonly":
             toggles["compress_forward"] = toggles["compress_backward"] = False
         elif tok == "fwdonly":
@@ -269,6 +273,7 @@ def main():
                 compress_gradients=cov["compress_gradients"],
                 compress_momentum=cov["compress_momentum"],
                 momentum_rowwise=cov["rowwise"],
+                momentum_log_nu=cov["log_nu"],
             ),
             loss_compressor=comp,
             config=TrainConfig(

@@ -79,6 +79,14 @@ class OptimizerCompression:
     # bits/row of stats overhead (counted in the size telemetry); applies to
     # the fake-quant momentum path (packed_momentum stays per-shard/tensor).
     momentum_rowwise: bool = False
+    # BEYOND-REFERENCE stability fix (--momentum_log_nu): quantize Adam's
+    # second moment in LOG2 domain — nu is positive and heavy-tailed, so a
+    # linear z-score grid has huge RELATIVE error for small entries and the
+    # all_positive clamp rounds ~20% of them to EXACT zero (measured,
+    # BASELINE.md), removing Adam's denominator floor.  A log-domain grid
+    # gives uniform relative error (sigma_log/15 in log2 units) and exact
+    # zeros are preserved as zeros.  Same bits/element, no clamp needed.
+    momentum_log_nu: bool = False
 
     @property
     def active(self) -> bool:
@@ -205,20 +213,49 @@ def norm_param_mask(params: Any) -> Any:
     )
 
 
+def _log_domain(fn):
+    """Wrap an elementwise quantization call into log2 domain: positive
+    entries are quantized as log2(x) (uniform RELATIVE error), exact zeros
+    pass through as zeros.  Stats pollution from the zero mask is avoided by
+    parking zeros at the positive entries' mean log before quantization."""
+
+    def wrapped(x):
+        nz = x > 0.0
+        npos = jnp.maximum(jnp.sum(nz.astype(jnp.float32)), 1.0)
+        lx_raw = jnp.log2(jnp.where(nz, x, 1.0))
+        mean_pos = jnp.sum(jnp.where(nz, lx_raw, 0.0)) / npos
+        lx = jnp.where(nz, lx_raw, mean_pos)
+        y_l, stats = fn(lx)
+        return jnp.where(nz, jnp.exp2(y_l), 0.0), stats
+
+    return wrapped
+
+
 def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=None,
-                   rowwise=False):
+                   rowwise=False, log_domain=False):
     """Quantize every leaf with per-leaf keys; returns (tree, orig_bits, new_bits).
 
     ``rowwise``: rank>=2 leaves are quantized per leading-axis row (vmapped
     compressor, one (mean, std) pair per row = 64 bits overhead each,
     counted); rank-1 leaves keep per-tensor stats.  See
-    ``OptimizerCompression.momentum_rowwise``."""
+    ``OptimizerCompression.momentum_rowwise``.
+
+    ``log_domain``: quantize in log2 domain (positive-tensor leaves, e.g.
+    Adam's nu — see ``OptimizerCompression.momentum_log_nu``); implies the
+    all_positive clamp is unnecessary and is not applied."""
     keys = tree_split(key, tree)
     totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
     def one(leaf, k, skip, all_pos):
         if skip:
             return leaf
+        if log_domain:
+            y, stats = _log_domain(
+                lambda lx: compressor(lx, k, all_positive=False)
+            )(leaf.astype(jnp.float32))
+            totals["orig"] = totals["orig"] + stats.orig_bits
+            totals["new"] = totals["new"] + stats.new_bits
+            return y.astype(leaf.dtype)
         if rowwise and leaf.ndim >= 2 and leaf.shape[0] >= 2:
             rows = leaf.reshape(leaf.shape[0], -1)
             row_keys = jax.random.split(k, rows.shape[0])
@@ -498,10 +535,14 @@ def compressed_optimizer_step(
 
             def quantize_momentum(tree, all_positive):
                 ap_tree = jax.tree.map(lambda _: all_positive, tree)
+                # nu (the all_positive tree) optionally rides the log-domain
+                # codec; mu / SGD trace optionally per-row stats
+                log_nu = all_positive and compression.momentum_log_nu
                 out, o, n = _quantize_tree(
                     tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
                     all_positive_tree=ap_tree,
-                    rowwise=compression.momentum_rowwise,
+                    rowwise=compression.momentum_rowwise and not log_nu,
+                    log_domain=log_nu,
                 )
                 totals["orig"] = totals["orig"] + o
                 totals["new"] = totals["new"] + n

@@ -196,6 +196,12 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "decoded at step entry (single-chip; requires --compress smart)",
     )
     parser.add_argument(
+        "--momentum_log_nu", action="store_true",
+        help="quantize Adam's second moment in log2 domain (uniform "
+             "relative error, zeros preserved) — removes the exact-zero-nu "
+             "denominator hazard (BASELINE.md round-4 root cause)",
+    )
+    parser.add_argument(
         "--momentum_rowwise", action="store_true",
         help="quantize optimizer momentum with per-row (leading-axis) stats "
              "instead of per-tensor — bounds the Adam noise amplification "
@@ -403,6 +409,7 @@ def build_components(
         packed_momentum=getattr(args, "packed_momentum", False),
         packed_weights=getattr(args, "packed_weights", False),
         momentum_rowwise=getattr(args, "momentum_rowwise", False),
+        momentum_log_nu=getattr(args, "momentum_log_nu", False),
     ) if compressor is not None else OptimizerCompression()
     if optim_comp.packed_momentum or optim_comp.packed_weights:
         from smart_quantization_tpu.optim.compressed import packed_smaq_params

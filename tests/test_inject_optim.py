@@ -259,6 +259,54 @@ class TestCompressedOptimizer:
         # 64 bits/row stats overhead counted
         assert float(m_row[1]) > float(m_tensor[1])
 
+    def test_momentum_log_nu(self):
+        """--momentum_log_nu: nu is positive + heavy-tailed; the linear
+        z-score grid clamps small entries to exact zero (removing Adam's
+        denominator floor), while the log2-domain codec keeps uniform
+        RELATIVE error and preserves exact zeros as zeros."""
+        spec = build_optimizer("adam", 0.001)
+        params = {"k": jnp.zeros((4, 64))}
+        # grads spanning 4 decades per row + one all-zero row -> nu spans
+        # 8 decades with exact zeros
+        g = jnp.concatenate(
+            [
+                10.0 ** jnp.linspace(-3, 1, 64)[None, :],
+                10.0 ** jnp.linspace(-2, 0, 64)[None, :],
+                jnp.zeros((1, 64)),
+                10.0 ** jnp.linspace(-1, 1, 64)[None, :],
+            ]
+        )
+        grads = {"k": g}
+        state = spec.tx.init(params)
+
+        def run(log_nu):
+            comp = OptimizerCompression(
+                compressor=build_compressor(
+                    "smart", use_pallas=False, stochastic_rounding=False
+                ),
+                compress_weights=False,
+                compress_gradients=False,
+                momentum_log_nu=log_nu,
+            )
+            _, s2, _ = compressed_optimizer_step(
+                spec, params, grads, state, jax.random.key(0), comp
+            )
+            return np.asarray(s2[0].nu["k"])
+
+        true_nu = 0.001 * np.asarray(g) ** 2
+        nu_log = run(True)
+        nu_lin = run(False)
+        pos = true_nu > 0
+        # exact zeros preserved; no positive entry collapses to zero
+        assert np.all(nu_log[~pos] == 0.0)
+        assert np.all(nu_log[pos] > 0.0)
+        rel = np.abs(nu_log[pos] - true_nu[pos]) / true_nu[pos]
+        assert np.median(rel) < 0.3
+        # the linear grid destroys small entries (rounds them to 0 or
+        # errors >> 100%)
+        rel_lin = np.abs(nu_lin[pos] - true_nu[pos]) / true_nu[pos]
+        assert (nu_lin[pos] == 0).mean() + (rel_lin > 1.0).mean() > 0.3
+
     def test_momentum_skipped_when_sgd_no_momentum(self):
         spec = build_optimizer("sgd", 0.1, momentum=0.0)
         assert not spec.has_momentum
