@@ -68,6 +68,19 @@ class TestBuild:
         assert comps["compressor"].params.num_bits_main == 6
         assert comps["optimizer_spec"].kind == "adamw"
         assert comps["optim_comp"].compress_momentum
+        # stable momentum codecs are OPT-IN (reference semantics default)
+        assert not comps["optim_comp"].momentum_rowwise
+        assert not comps["optim_comp"].momentum_log_nu
+
+    def test_stable_momentum_flags(self):
+        comps = build_components(
+            parse_args(
+                "--compress smart --optimizer_type adamw "
+                "--momentum_rowwise --momentum_log_nu"
+            )
+        )
+        assert comps["optim_comp"].momentum_rowwise
+        assert comps["optim_comp"].momentum_log_nu
 
     def test_global_hook_mode(self):
         comps = build_components(
