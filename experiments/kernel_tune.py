@@ -53,6 +53,11 @@ def slope_ms(mk, x, lo=1, hi=17, reps=7, outer=3):
 
 def bench_kernel(n, block_rows):
     K._MAX_BLOCK_ROWS = block_rows
+    # CRITICAL: smaq_fused is itself jitted and its trace cache keys on
+    # avals/static args only — without clearing it, mutating the module
+    # global is INVISIBLE and every "block size" measures the first-traced
+    # kernel (the r2/r3 block-size deltas were chip drift, not blocks).
+    K.smaq_fused.clear_cache()
     x = jax.random.normal(jax.random.key(0), (n,), jnp.float32)
 
     def mk(k_iters):
@@ -89,16 +94,30 @@ def bench_ceiling(n):
 
 
 def main():
-    out = {}
+    # INTERLEAVED passes: the chip's effective bandwidth drifts run-to-run
+    # (620-800 GB/s observed), so sequential per-block measurement confounds
+    # block size with drift.  Each pass measures ceiling + every block size;
+    # per-config the best across passes is kept, and the per-pass ceiling is
+    # recorded so block deltas can be read relative to the same-pass ceiling.
+    out = {"passes": []}
+    best = {}
     for n in (1 << 26,):
-        out[f"ceiling_n{n}"] = round(bench_ceiling(n), 1)
-        for br in (256, 512, 1024):
-            try:
-                out[f"kernel_n{n}_rows{br}"] = round(bench_kernel(n, br), 1)
-            except Exception as e:  # e.g. VMEM OOM at 4 MB blocks
-                out[f"kernel_n{n}_rows{br}"] = f"failed: {type(e).__name__}"
-            print(json.dumps(out), flush=True)
-        out[f"ceiling2_n{n}"] = round(bench_ceiling(n), 1)
+        for p in range(3):
+            row = {"ceiling": round(bench_ceiling(n), 1)}
+            for br in (256, 512, 1024):
+                try:
+                    g = round(bench_kernel(n, br), 1)
+                except Exception as e:  # e.g. VMEM OOM at 4 MB blocks
+                    g = f"failed: {type(e).__name__}"
+                row[f"rows{br}"] = g
+                if isinstance(g, float):
+                    key = f"kernel_n{n}_rows{br}"
+                    best[key] = max(best.get(key, 0.0), g)
+            out["passes"].append(row)
+            print(json.dumps(row), flush=True)
+        out.update(best)
+        cs = [p["ceiling"] for p in out["passes"]]
+        out[f"ceiling_best_n{n}"] = max(cs)
         print(json.dumps(out), flush=True)
     res = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(res, exist_ok=True)

@@ -46,9 +46,12 @@ from smart_quantization_tpu.ops.smaq import (
 )
 
 _LANES = 1024
-# 512x1024xf32 = 2 MB blocks: measured ~4.5% faster than 256-row blocks on
-# v5e (experiments/kernel_tune.py) while still fitting double-buffered
-# input+output in VMEM
+# 512x1024xf32 = 2 MB blocks.  Interleaved same-session measurements
+# (experiments/kernel_tune.py, round 4 — earlier per-block numbers were
+# invalidated by a jit-cache bug that re-ran the first-traced kernel) show
+# 256-row and 512-row blocks indistinguishable within the chip's run-to-run
+# bandwidth drift (ceiling swung 777-851 GB/s across passes); 1024-row
+# (4 MB) blocks fail to fit double-buffered input+output in VMEM.
 _MAX_BLOCK_ROWS = 512
 # below this, kernel launch overhead beats the fused win; use the jnp path
 _MIN_PALLAS_ELEMS = 8192
