@@ -32,19 +32,25 @@ def main():
         with open(path) as f:
             r = json.load(f)
         meta = r.get("_meta", {})
+        extra = ""
+        if meta.get("fp32_warmup_epochs"):
+            extra = (f", warmup={meta['fp32_warmup_epochs']}ep"
+                     f"->corr {meta.get('warmup_final_correlation')}")
+        if meta.get("model_dims"):
+            extra += f", dims={meta['model_dims']}"
         print(f"\n== {os.path.basename(path)} "
               f"(model={meta.get('model')}, epochs={meta.get('epochs')}, "
-              f"backend={meta.get('backend')})")
+              f"backend={meta.get('backend')}{extra})")
         is_bert = "bert" in os.path.basename(path)
         key = "val_corr" if is_bert else "val_accuracy"
-        print(f"{'encoder':8s} {'final':>8s} {'tail_mean':>10s} "
+        print(f"{'encoder':20s} {'final':>8s} {'tail_mean':>10s} "
               f"{'tail_min':>9s} {'ratio':>6s} {'diverged':>9s}")
         for enc, v in r.items():
             if enc.startswith("_"):
                 continue
             final = v.get("mean_correlation" if is_bert else "val_accuracy")
             tm, tmin = tail_stats(v.get("history", []), key)
-            print(f"{enc:8s} {final!s:>8s} "
+            print(f"{enc:20s} {final!s:>8s} "
                   f"{'-' if tm is None else format(tm, '.4f'):>10s} "
                   f"{'-' if tmin is None else format(tmin, '.4f'):>9s} "
                   f"{v.get('compression_ratio'):>6} "
