@@ -415,6 +415,14 @@ def build_components(
         from smart_quantization_tpu.optim.compressed import packed_smaq_params
 
         packed_smaq_params(optim_comp)  # fail fast on incompatible configs
+        if optim_comp.packed_momentum and (
+            optim_comp.momentum_rowwise or optim_comp.momentum_log_nu
+        ):
+            raise ValueError(
+                "--packed_momentum stores per-tensor linear uint8 codebooks "
+                "and cannot honor --momentum_rowwise/--momentum_log_nu; "
+                "pick one momentum representation"
+            )
         if optim_comp.packed_momentum and not optim_comp.compress_momentum:
             raise ValueError(
                 "--packed_momentum requires momentum compression; drop "
