@@ -280,6 +280,8 @@ def main():
 
 
 def measure_e2e_step_time() -> dict:
+    import jax.numpy as jnp
+
     from smart_quantization_tpu.compress import build_compressor
     from smart_quantization_tpu.data.cifar import CIFAR10Data
     from smart_quantization_tpu.inject.tap import TapConfig
@@ -298,29 +300,39 @@ def measure_e2e_step_time() -> dict:
             if "epoch_time_s" in scalars:
                 self.times.append(float(scalars["epoch_time_s"]))
 
-    comp = build_compressor("smart")
-    tap = TapConfig(compressor=comp)
-    model = resnet18(num_classes=10, tap=tap)
-    data = CIFAR10Data(batch_size=256)  # synthetic: 2048 train rows
-    logger = _Epochs()
-    trainer = Trainer(
-        model, data, build_optimizer("sgd", 0.1, momentum=0.9),
-        tap_cfg=tap,
-        optim_comp=OptimizerCompression(compressor=comp),
-        config=TrainConfig(epochs=4, log_every=10_000, steps_per_call=8),
-        logger=logger,
-    )
-    trainer.fit()
-    steps_per_epoch = data.steps_per_epoch
-    warm = logger.times[1:] or logger.times
-    best_epoch_s = min(warm)
-    return {
+    def one(dtype):
+        comp = build_compressor("smart")
+        tap = TapConfig(compressor=comp)
+        model = resnet18(num_classes=10, tap=tap, dtype=dtype)
+        data = CIFAR10Data(batch_size=256)  # synthetic: 2048 train rows
+        logger = _Epochs()
+        trainer = Trainer(
+            model, data, build_optimizer("sgd", 0.1, momentum=0.9),
+            tap_cfg=tap,
+            optim_comp=OptimizerCompression(compressor=comp),
+            config=TrainConfig(epochs=4, log_every=10_000, steps_per_call=8),
+            logger=logger,
+        )
+        trainer.fit()
+        warm = logger.times[1:] or logger.times
+        return min(warm), data.steps_per_epoch
+
+    best_epoch_s, steps_per_epoch = one(jnp.float32)
+    out = {
         "e2e_epoch_s_resnet18_smaq68_bs256": round(best_epoch_s, 3),
         "e2e_step_ms_resnet18_smaq68_bs256": round(
             best_epoch_s / steps_per_epoch * 1e3, 2
         ),
         "e2e_steps_per_epoch": steps_per_epoch,
     }
+    if os.environ.get("SMAQ_BENCH_E2E_BF16", "1") == "1":
+        # --compute_dtype bfloat16 variant (now that every conv computes in
+        # bf16 — tests/test_models.py::test_bf16_covers_every_conv_and_dense)
+        bf16_epoch_s, _ = one(jnp.bfloat16)
+        out["e2e_step_ms_resnet18_smaq68_bs256_bf16"] = round(
+            bf16_epoch_s / steps_per_epoch * 1e3, 2
+        )
+    return out
 
 
 if __name__ == "__main__":
