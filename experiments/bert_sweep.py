@@ -94,8 +94,6 @@ def make_skip_nu(inner):
     optim/compressed.py::_map_momentum_state) pass through unquantized."""
     import dataclasses as _dc
 
-    import jax.numpy as _jnp
-
     from smart_quantization_tpu.compress.base import SizeStats
 
     @_dc.dataclass(frozen=True)
