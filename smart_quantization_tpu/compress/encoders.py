@@ -43,7 +43,8 @@ class SmaQ(CompressorBase):
 
     name = "smart"
 
-    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
+    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None,
+                 mean=None, std=None):
         if not self.use_batch_norm:
             gamma = beta = None
         elif gamma is not None and self.bn_scalar_params:
@@ -57,10 +58,12 @@ class SmaQ(CompressorBase):
 
             x_hat, new_bits = smaq_fused_or_reference(
                 x, key, self.params, all_positive=all_positive,
-                compute_size=self.measure_sizes,
+                compute_size=self.measure_sizes, mean=mean, std=std,
             )
         elif (
             self.use_pallas
+            and mean is None
+            and std is None
             and gamma is not None
             and getattr(gamma, "ndim", 0) == 1
             and x.ndim >= 2
@@ -81,6 +84,8 @@ class SmaQ(CompressorBase):
                 gamma=gamma,
                 beta=beta,
                 all_positive=all_positive,
+                mean=mean,
+                std=std,
             )
         return x_hat, SizeStats(jnp.float32(x.size * 32), new_bits)
 
@@ -102,7 +107,8 @@ class FloatEncoder(CompressorBase):
             y = float_quantize(y, FP16_FORMAT, None, stochastic=False, check_inf=False)
         return y
 
-    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
+    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None,
+                 mean=None, std=None):
         from smart_quantization_tpu.ops.pallas.float_kernel import (
             float_quantize_fused_or_reference,
         )
@@ -140,7 +146,8 @@ class S2FP8(CompressorBase):
 
     name = "s2fp8"
 
-    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
+    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None,
+                 mean=None, std=None):
         from smart_quantization_tpu.ops.pallas.s2fp8_kernel import (
             s2fp8_fused_or_reference,
         )
@@ -157,5 +164,6 @@ class S2FP8(CompressorBase):
 class FP32(CompressorBase):
     name = "fp32"
 
-    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None):
+    def __call__(self, x, key, *, all_positive=False, gamma=None, beta=None,
+                 mean=None, std=None):
         return x, SizeStats.of(x.size, 32, 32)

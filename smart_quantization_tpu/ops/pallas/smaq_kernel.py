@@ -257,8 +257,16 @@ def smaq_fused(
             # can still flip bucket-boundary elements (the conformance
             # tests bound that); the jnp reference path (ops/smaq.py)
             # keeps the torch-matching two-pass math.
+            # Pivot = mean of a small head slice rather than element 0
+            # alone: one extreme outlier in position 0 would make the
+            # shifted sums s2 ~ n*(x0-mean)^2 and reintroduce the very
+            # cancellation the shift avoids (ADVICE r4).  Averaging 256
+            # elements damps a single outlier's pull by 256x; the residual
+            # failure mode (the ENTIRE head slice being outliers, pushing
+            # the pivot out of the bulk's range) is accepted and documented
+            # here, like the zero-clamp guard below.
             flat0 = xf.reshape(-1)
-            pivot = jax.lax.dynamic_slice(flat0, (0,), (1,))[0]
+            pivot = jnp.mean(flat0[: min(n, 256)])
             d = flat0 - pivot
             s1 = jnp.sum(d)
             s2 = jnp.sum(d * d)
@@ -356,20 +364,27 @@ def smaq_fused_or_reference(
     *,
     all_positive: bool = False,
     compute_size: bool = True,
+    mean: jax.Array | None = None,
+    std: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dispatch to the fused TPU kernel when profitable, else the jnp path.
 
     Both paths implement identical math; they differ only in the PRNG stream
     driving stochastic rounding (and the sampled-stats positions: the kernel
     samples stratified positions, the jnp path samples a random stratum).
+    Precomputed ``mean``/``std`` skip the stats pass on either path (used by
+    the masked-stats log-domain nu codec, optim/compressed.py::_log_domain).
     """
     if _use_pallas() and x.size >= _MIN_PALLAS_ELEMS:
         return smaq_fused(
-            x, key, params, all_positive=all_positive, compute_size=compute_size
+            x, key, params, all_positive=all_positive,
+            compute_size=compute_size, mean=mean, std=std,
         )
     # the jnp path always computes the true size; XLA dead-code-eliminates
     # it when the caller ignores the output
-    return smaq_quantize_dequantize(x, key, params, all_positive=all_positive)
+    return smaq_quantize_dequantize(
+        x, key, params, all_positive=all_positive, mean=mean, std=std
+    )
 
 
 # --------------------------------------------------------------------------

@@ -43,10 +43,16 @@ def init_multihost(
         # A second call is a no-op: check the client first (the message of
         # the RuntimeError differs across JAX versions — 0.9.0 says
         # "should only be called once", older said "already initialized").
-        already = (
-            getattr(jax._src.distributed.global_state, "client", None)
-            is not None
-        )
+        # The probe reads private jax internals; a JAX release that moves
+        # them must fall through to already=False so the string-matched
+        # RuntimeError below remains the safety net (ADVICE r4).
+        try:
+            already = (
+                getattr(jax._src.distributed.global_state, "client", None)
+                is not None
+            )
+        except (AttributeError, ImportError):
+            already = False
         if not already:
             try:
                 jax.distributed.initialize(
