@@ -637,3 +637,77 @@ def test_packed_weights_under_fsdp_mesh():
     assert any(l.mean.shape == (4,) for l in packed_params)
     val = t.evaluate(state)
     assert np.isfinite(val["val_loss"])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_reshard_packed_state_fsdp_to_single_chip():
+    """A packed state written at fsdp=4 resharded to the single-chip layout
+    (VERDICT r4 weak #6): decoded values survive within one extra stochastic
+    quantization round, and a single-chip train step runs from the resharded
+    state."""
+    from smart_quantization_tpu.optim.compressed import reshard_packed_state
+    from smart_quantization_tpu.train.state import TrainState
+
+    t_mesh = _fsdp_trainer(("packed_momentum", "packed_weights"), limit=1)
+    s_mesh = t_mesh.fit()
+    host = jax.device_get(s_mesh)
+    # precondition: the state really is mesh-size-locked ((4,)-stats leaves)
+    mesh_leaves = [
+        l for l in jax.tree.leaves(
+            host.params, is_leaf=lambda l: isinstance(l, SmaQCodes)
+        ) if isinstance(l, SmaQCodes)
+    ]
+    assert any(l.mean.shape == (4,) for l in mesh_leaves)
+
+    resharded = reshard_packed_state(
+        host, jax.random.key(7), t_mesh.optim_comp, None
+    )
+    p = packed_smaq_params(t_mesh.optim_comp)
+    new_leaves = [
+        l for l in jax.tree.leaves(
+            resharded.params, is_leaf=lambda l: isinstance(l, SmaQCodes)
+        ) if isinstance(l, SmaQCodes)
+    ]
+    assert new_leaves and all(
+        jnp.asarray(l.mean).ndim == 0 for l in new_leaves
+    ), "single-chip layout stores scalar stats"
+    # values: decode(old) vs decode(new) within ~one grid step of the
+    # extra stochastic quantization round.  The coarsest grid is the
+    # OUTLIER region's (std / range_outlier), and the relevant std is the
+    # larger of the old per-shard and new global stats.
+    for old, new in zip(mesh_leaves, new_leaves):
+        a = np.asarray(smaq_decode(old, p))
+        b = np.asarray(smaq_decode(new, p))
+        s = max(float(np.max(np.asarray(old.std))),
+                float(np.max(np.asarray(new.std))))
+        step_bound = s / min(p.range_main, p.range_outlier)
+        # one stochastic round can move a value a FULL step, and the old and
+        # new grids are offset by the stats change: allow 2.5 steps
+        assert np.abs(a - b).max() <= step_bound * 2.5 + 1e-7
+
+    # the single-chip trainer (same compression flags) keeps training from it
+    from smart_quantization_tpu.data.cifar import CIFAR10Data
+    from smart_quantization_tpu.inject.tap import TapConfig
+    from smart_quantization_tpu.models.tiny import TinyCNN
+    from smart_quantization_tpu.train.loop import TrainConfig, Trainer
+    from smart_quantization_tpu.train.metrics import MetricLogger
+
+    comp = build_compressor("smart", use_pallas=False)
+    tap = TapConfig(compressor=comp)
+    t_single = Trainer(
+        TinyCNN(num_classes=10, tap=tap),
+        CIFAR10Data(batch_size=32),
+        build_optimizer("adam", 1e-3),
+        tap_cfg=tap,
+        optim_comp=OptimizerCompression(
+            compressor=comp, packed_momentum=True, packed_weights=True
+        ),
+        config=TrainConfig(epochs=1, log_every=2, limit_train_batches=1,
+                           limit_val_batches=1, seed=1),
+        logger=MetricLogger(None),
+    )
+    s2 = t_single.fit(jax.tree.map(jnp.asarray, resharded,
+                                   is_leaf=lambda l: l is None))
+    assert int(s2.step) == int(host.step) + 1
+    val = t_single.evaluate(s2)
+    assert np.isfinite(val["val_loss"])
