@@ -106,8 +106,13 @@ def make_fsdp_q_train_step(
     measure_ratio: bool = False,
     tel_tpl=None,
     loss_compressor=None,
+    steps_per_call: int = 1,
 ):
     """Build the jitted fused step for ``state``'s pytree structure.
+
+    ``steps_per_call`` > 1 scans K steps inside one shard_map dispatch
+    (leading K axis on inputs/labels, batch axis sharded over the whole
+    mesh) — see ``train_dp.make_dp_train_step``.
 
     ``state`` is only inspected for shapes (pass the unplaced, global-shape
     state).  ``grad_bits=None`` falls back to fp32 psum + reduce-scatter;
@@ -305,9 +310,20 @@ def make_fsdp_q_train_step(
                 )
         return new_state, metrics
 
-    batch_spec = P(("data", "fsdp"))
+    if steps_per_call > 1:
+
+        def local_multi(state: TrainState, inputs, labels, key):
+            def body(st, xs):
+                ins, lb = xs
+                return local_step(st, ins, lb, key)
+
+            return jax.lax.scan(body, state, (inputs, labels))
+
+        fn, batch_spec = local_multi, P(None, ("data", "fsdp"))
+    else:
+        fn, batch_spec = local_step, P(("data", "fsdp"))
     sharded = shard_map(
-        local_step,
+        fn,
         mesh=mesh,
         in_specs=(state_specs, batch_spec, batch_spec, P()),
         out_specs=(state_specs, P()),
@@ -318,6 +334,16 @@ def make_fsdp_q_train_step(
 
 def shard_batch(mesh: Mesh, inputs, labels):
     s = NamedSharding(mesh, P(("data", "fsdp")))
+    return (
+        jax.tree.map(lambda x: jax.device_put(x, s), inputs),
+        jax.device_put(labels, s),
+    )
+
+
+def shard_batch_multi(mesh: Mesh, inputs, labels):
+    """Place a K-step stacked batch: axis 0 = step, axis 1 = batch rows
+    (sharded over the whole data*fsdp mesh)."""
+    s = NamedSharding(mesh, P(None, ("data", "fsdp")))
     return (
         jax.tree.map(lambda x: jax.device_put(x, s), inputs),
         jax.device_put(labels, s),

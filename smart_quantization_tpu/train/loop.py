@@ -102,6 +102,7 @@ class Trainer:
         logger: MetricLogger | None = None,
         mesh=None,
         grad_allreduce_bits: int | None = 8,
+        grad_allreduce_mode: str = "auto",
         param_gather_bits: int | None = None,
     ):
         self.model = model
@@ -124,6 +125,7 @@ class Trainer:
         # runs under shard_map with the quantized-gradient all-reduce.
         self.mesh = mesh
         self.grad_allreduce_bits = grad_allreduce_bits
+        self.grad_allreduce_mode = grad_allreduce_mode
         self.param_gather_bits = param_gather_bits
 
     # ---------------------------------------------------------------- init
@@ -213,39 +215,62 @@ class Trainer:
                     "the FSDP path needs the (global-shape) TrainState to "
                     "derive per-leaf shardings; pass it to build_train_step"
                 )
-            return make_fsdp_q_train_step(
-                self.model,
-                self.spec,
-                self.optim_comp,
-                self.mesh,
-                state,
-                task=task,
-                grad_bits=self.grad_allreduce_bits,
-                param_gather_bits=self.param_gather_bits,
-                measure_ratio=self.cfg.measure_compression_ratio,
-                tel_tpl=tel_tpl,
-                loss_compressor=(
-                    self.loss_compressor if self.cfg.compress_loss else None
-                ),
+
+            def mk_fsdp(spc):
+                return make_fsdp_q_train_step(
+                    self.model,
+                    self.spec,
+                    self.optim_comp,
+                    self.mesh,
+                    state,
+                    task=task,
+                    grad_bits=self.grad_allreduce_bits,
+                    param_gather_bits=self.param_gather_bits,
+                    measure_ratio=self.cfg.measure_compression_ratio,
+                    tel_tpl=tel_tpl,
+                    loss_compressor=(
+                        self.loss_compressor if self.cfg.compress_loss else None
+                    ),
+                    steps_per_call=spc,
+                )
+
+            # K-step dispatch composes with the mesh (scan inside shard_map);
+            # the single-step variant handles leftover sub-K groups and only
+            # compiles if one occurs (jit is lazy)
+            self._multi_train_step = (
+                mk_fsdp(self.cfg.steps_per_call)
+                if self.cfg.steps_per_call > 1
+                else None
             )
+            return mk_fsdp(1)
         if self.mesh is not None:
             from smart_quantization_tpu.parallel.train_dp import (
                 make_dp_train_step,
             )
 
-            return make_dp_train_step(
-                self.model,
-                self.spec,
-                self.optim_comp,
-                self.mesh,
-                task=task,
-                grad_allreduce_bits=self.grad_allreduce_bits,
-                measure_ratio=self.cfg.measure_compression_ratio,
-                tel_tpl=tel_tpl,
-                loss_compressor=(
-                    self.loss_compressor if self.cfg.compress_loss else None
-                ),
+            def mk_dp(spc):
+                return make_dp_train_step(
+                    self.model,
+                    self.spec,
+                    self.optim_comp,
+                    self.mesh,
+                    task=task,
+                    grad_allreduce_bits=self.grad_allreduce_bits,
+                    grad_allreduce_mode=self.grad_allreduce_mode,
+                    measure_ratio=self.cfg.measure_compression_ratio,
+                    tel_tpl=tel_tpl,
+                    loss_compressor=(
+                        self.loss_compressor if self.cfg.compress_loss else None
+                    ),
+                    steps_per_call=spc,
+                )
+
+            self._multi_train_step = (
+                mk_dp(self.cfg.steps_per_call)
+                if self.cfg.steps_per_call > 1
+                else None
             )
+            return mk_dp(1)
 
         # single chip: backward (gradient-map) size telemetry via the
         # telemetry-token trick (inject/tap.py): differentiate the loss
@@ -398,6 +423,15 @@ class Trainer:
             if v == 1.0:
                 return None  # 100% of the epoch == no limit
             return max(1, int(v * total)) if total else None
+        if isinstance(v, float) and v != int(v):
+            # Lightning rejects fractional limits outside [0, 1]; a typo'd
+            # --limit_val_batches 1.5 must not silently become 1 batch
+            # (ADVICE r4).  Whole floats (5.0) are accepted as counts to
+            # match the CLI's float parse.
+            raise ValueError(
+                f"fractional batch limit {v} is outside (0, 1]; pass a "
+                "fraction in (0, 1] or an integral batch count"
+            )
         return int(v)
 
     # ---------------------------------------------------------------- loop
@@ -435,8 +469,6 @@ class Trainer:
             jax.profiler.start_trace(self.cfg.profile_dir)
             profiling = True
         spc = self.cfg.steps_per_call
-        if spc > 1 and self.mesh is not None:
-            raise ValueError("steps_per_call > 1 is single-chip only")
         fit_t0 = time.time()
 
         def time_up() -> bool:
@@ -474,6 +506,18 @@ class Trainer:
                     )
                     lbls = jnp.asarray(np.stack([g[1] for g in group]))
                     group = []
+                    if self._fsdp_active():
+                        from smart_quantization_tpu.parallel.train_fsdp_q import (
+                            shard_batch_multi,
+                        )
+
+                        ins, lbls = shard_batch_multi(self.mesh, ins, lbls)
+                    elif self.mesh is not None:
+                        from smart_quantization_tpu.parallel.train_dp import (
+                            shard_batch_multi,
+                        )
+
+                        ins, lbls = shard_batch_multi(self.mesh, ins, lbls)
                     # one dispatch runs K scanned steps; metrics come back
                     # with a leading K axis
                     state, metrics = self._multi_train_step(

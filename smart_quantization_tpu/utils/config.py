@@ -212,6 +212,14 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
+    parser.add_argument(
+        "--grad_allreduce_mode", default="auto",
+        choices=["auto", "gather", "psum"],
+        help="DP quantized all-reduce variant: gather = full per-shard "
+             "precision, (n-1) B/elem; psum = headroom-grid int8 ring, "
+             "~2 B/elem at any mesh size; auto = gather below 8 devices, "
+             "psum at 8+ (traffic table in parallel/train_dp.py)",
+    )
 
 
 COMPRESSOR_ARGS = {

@@ -99,6 +99,7 @@ def main(argv=None):
         logger=logger,
         mesh=mesh,
         grad_allreduce_bits=args.grad_allreduce_bits,
+        grad_allreduce_mode=args.grad_allreduce_mode,
         param_gather_bits=args.param_gather_bits,
     )
     if args.auto_scale_batch_size:
