@@ -143,6 +143,11 @@ def main():
     ap.add_argument("--fp32_warmup_epochs", type=int, default=0)
     ap.add_argument("--warmup_learning_rate", type=float, default=None,
                     help="lr for the warmup phase (default: --learning_rate)")
+    ap.add_argument("--warmup_ramp_epochs", type=int, default=0,
+                    help="linear LR ramp 0 -> warmup_lr over the first N "
+                         "warmup epochs; post-LN BERT at bert-base DEPTH "
+                         "(12 layers) diverges from scratch without one "
+                         "(the canonical BERT recipe also ramps)")
     # model dims (default: bert-tiny).  --hidden 768 --heads 12
     # --intermediate 3072 tests at the reference's bert-base width
     ap.add_argument("--hidden", type=int, default=64)
@@ -213,11 +218,19 @@ def main():
         wmodel = BertForSequenceClassification(
             model_cfg, num_labels=wdata.num_labels, tap=None
         )
+        wlr = args.warmup_learning_rate or args.learning_rate
+        if args.warmup_ramp_epochs > 0:
+            import optax
+
+            spe = max(args.train_n // args.batch_size, 1)
+            wlr = optax.linear_schedule(
+                0.0, wlr, args.warmup_ramp_epochs * spe
+            )
         wlogger = _HistoryLogger()
         wtrainer = BertTrainer(
             wmodel, wdata,
             build_optimizer(
-                "adamw", args.warmup_learning_rate or args.learning_rate,
+                "adamw", wlr,
                 weight_decay=args.weight_decay, epsilon=args.epsilon,
             ),
             tap_cfg=None,
@@ -232,9 +245,11 @@ def main():
         wval = wtrainer.evaluate(wstate)
         warm_params = _jax.device_get(wstate.params)
         results["_meta"]["fp32_warmup_epochs"] = args.fp32_warmup_epochs
+        results["_meta"]["warmup_ramp_epochs"] = args.warmup_ramp_epochs
         results["_meta"]["warmup_final_correlation"] = round(
             wval.get("val_pearson_spearman_mean", float("nan")), 4
         )
+        results["_meta"]["warmup_history"] = wlogger.history
         print(f"[warmup] {args.fp32_warmup_epochs} fp32 epochs -> "
               f"corr={results['_meta']['warmup_final_correlation']}",
               flush=True)
