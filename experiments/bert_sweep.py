@@ -50,6 +50,8 @@ def parse_encoder_spec(spec: str):
                            (the only all_positive call site) but keeps mu
       rowmom             — per-row momentum stats (--momentum_rowwise)
       lognu              — log2-domain nu codec (--momentum_log_nu)
+      rowlognu           — per-row log2 nu stats (--momentum_log_nu_rowwise,
+                           implies lognu)
       optonly            — taps fully off (optimizer-side only)
       fwdonly            — taps forward-only, optimizer-side off
     """
@@ -58,7 +60,7 @@ def parse_encoder_spec(spec: str):
         "compress_forward": True, "compress_backward": True,
         "compress_weights": True, "compress_gradients": True,
         "compress_momentum": True, "skip_nu": False, "rowwise": False,
-        "log_nu": False,
+        "log_nu": False, "log_nu_rowwise": False,
     }
     for tok in filter(None, abl.split(",")):
         if tok == "nofwd":
@@ -77,6 +79,9 @@ def parse_encoder_spec(spec: str):
             toggles["rowwise"] = True
         elif tok == "lognu":
             toggles["log_nu"] = True
+        elif tok == "rowlognu":
+            toggles["log_nu"] = True
+            toggles["log_nu_rowwise"] = True
         elif tok == "optonly":
             toggles["compress_forward"] = toggles["compress_backward"] = False
         elif tok == "fwdonly":
@@ -287,6 +292,7 @@ def main():
                 compress_momentum=cov["compress_momentum"],
                 momentum_rowwise=cov["rowwise"],
                 momentum_log_nu=cov["log_nu"],
+                momentum_log_nu_rowwise=cov["log_nu_rowwise"],
             ),
             loss_compressor=comp,
             config=TrainConfig(

@@ -87,6 +87,11 @@ class OptimizerCompression:
     # gives uniform relative error (sigma_log/15 in log2 units) and exact
     # zeros are preserved as zeros.  Same bits/element, no clamp needed.
     momentum_log_nu: bool = False
+    # Tighten the log-nu codec further: per-ROW masked log stats for nu
+    # (combines the two fixes above on the second moment; 64 bits/row
+    # overhead).  Off by default so --momentum_log_nu keeps the semantics
+    # its committed artifacts were measured with.
+    momentum_log_nu_rowwise: bool = False
 
     @property
     def active(self) -> bool:
@@ -253,7 +258,8 @@ def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=N
 
     ``log_domain``: quantize in log2 domain (positive-tensor leaves, e.g.
     Adam's nu — see ``OptimizerCompression.momentum_log_nu``); implies the
-    all_positive clamp is unnecessary and is not applied."""
+    all_positive clamp is unnecessary and is not applied.  Combines with
+    ``rowwise`` (per-row masked log stats; 64 bits/row overhead counted)."""
     keys = tree_split(key, tree)
     totals = {"orig": jnp.float32(0.0), "new": jnp.float32(0.0)}
 
@@ -261,6 +267,29 @@ def _quantize_tree(tree, key, compressor, *, all_positive_tree=None, skip_tree=N
         if skip:
             return leaf
         if log_domain:
+            if rowwise and leaf.ndim >= 2 and leaf.shape[0] >= 2:
+                rows = leaf.reshape(leaf.shape[0], -1).astype(jnp.float32)
+                row_keys = jax.random.split(k, rows.shape[0])
+                row_comp = compressor
+                if dataclasses.is_dataclass(row_comp) and hasattr(
+                    row_comp, "use_pallas"
+                ):
+                    row_comp = dataclasses.replace(row_comp, use_pallas=False)
+
+                def one_row(r, kk):
+                    return _log_domain(
+                        lambda lx, **kw: row_comp(
+                            lx, kk, all_positive=False, **kw
+                        )
+                    )(r)
+
+                y, stats = jax.vmap(one_row)(rows, row_keys)
+                totals["orig"] = totals["orig"] + jnp.sum(stats.orig_bits)
+                totals["new"] = (
+                    totals["new"] + jnp.sum(stats.new_bits)
+                    + jnp.float32(rows.shape[0] * 64)
+                )
+                return y.reshape(leaf.shape).astype(leaf.dtype)
             y, stats = _log_domain(
                 lambda lx, **kw: compressor(lx, k, all_positive=False, **kw)
             )(leaf.astype(jnp.float32))
@@ -548,12 +577,18 @@ def compressed_optimizer_step(
             def quantize_momentum(tree, all_positive):
                 ap_tree = jax.tree.map(lambda _: all_positive, tree)
                 # nu (the all_positive tree) optionally rides the log-domain
-                # codec; mu / SGD trace optionally per-row stats
+                # codec (per-tensor, or per-row with momentum_log_nu_rowwise);
+                # mu / SGD trace optionally per-row stats
                 log_nu = all_positive and compression.momentum_log_nu
+                rw = (
+                    compression.momentum_log_nu_rowwise
+                    if log_nu
+                    else compression.momentum_rowwise
+                )
                 out, o, n = _quantize_tree(
                     tree, jax.random.fold_in(k_mom, int(all_positive)), comp,
                     all_positive_tree=ap_tree,
-                    rowwise=compression.momentum_rowwise and not log_nu,
+                    rowwise=rw,
                     log_domain=log_nu,
                 )
                 totals["orig"] = totals["orig"] + o

@@ -209,6 +209,11 @@ def add_trainer_args(parser: argparse.ArgumentParser) -> None:
              "root cause); 64 bits/row overhead, counted",
     )
     parser.add_argument(
+        "--momentum_log_nu_rowwise", action="store_true",
+        help="per-ROW masked log2 stats for Adam's second moment (tightens "
+             "--momentum_log_nu; implies it); 64 bits/row overhead, counted",
+    )
+    parser.add_argument(
         "--grad_allreduce_bits", type=int, default=None,
         help="quantize gradient all-reduce payloads to N bits (DP mode)",
     )
@@ -417,7 +422,13 @@ def build_components(
         packed_momentum=getattr(args, "packed_momentum", False),
         packed_weights=getattr(args, "packed_weights", False),
         momentum_rowwise=getattr(args, "momentum_rowwise", False),
-        momentum_log_nu=getattr(args, "momentum_log_nu", False),
+        momentum_log_nu=(
+            getattr(args, "momentum_log_nu", False)
+            or getattr(args, "momentum_log_nu_rowwise", False)
+        ),
+        momentum_log_nu_rowwise=getattr(
+            args, "momentum_log_nu_rowwise", False
+        ),
     ) if compressor is not None else OptimizerCompression()
     if optim_comp.packed_momentum or optim_comp.packed_weights:
         from smart_quantization_tpu.optim.compressed import packed_smaq_params

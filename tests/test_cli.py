@@ -81,6 +81,17 @@ class TestBuild:
         )
         assert comps["optim_comp"].momentum_rowwise
         assert comps["optim_comp"].momentum_log_nu
+        assert not comps["optim_comp"].momentum_log_nu_rowwise
+
+    def test_log_nu_rowwise_implies_log_nu(self):
+        comps = build_components(
+            parse_args(
+                "--compress smart --optimizer_type adamw "
+                "--momentum_log_nu_rowwise"
+            )
+        )
+        assert comps["optim_comp"].momentum_log_nu
+        assert comps["optim_comp"].momentum_log_nu_rowwise
 
     def test_global_hook_mode(self):
         comps = build_components(

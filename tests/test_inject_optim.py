@@ -307,6 +307,54 @@ class TestCompressedOptimizer:
         rel_lin = np.abs(nu_lin[pos] - true_nu[pos]) / true_nu[pos]
         assert (nu_lin[pos] == 0).mean() + (rel_lin > 1.0).mean() > 0.3
 
+    def test_momentum_log_nu_rowwise(self):
+        """--momentum_log_nu_rowwise: per-ROW masked log stats.  A narrow-
+        spread row sharing a tensor with an 8-decade row gets far tighter
+        buckets than the per-tensor log codec gives it; zeros stay exact and
+        the 64 bits/row overhead is counted."""
+        spec = build_optimizer("adam", 0.001)
+        params = {"k": jnp.zeros((3, 64))}
+        g = jnp.concatenate(
+            [
+                10.0 ** jnp.linspace(-4, 4, 64)[None, :],  # 8-decade row
+                1.0 + 0.5 * jnp.linspace(0, 1, 64)[None, :],  # narrow row
+                jnp.zeros((1, 64)),
+            ]
+        )
+        grads = {"k": g}
+        state = spec.tx.init(params)
+
+        def run(rowwise):
+            comp = OptimizerCompression(
+                compressor=build_compressor(
+                    "smart", use_pallas=False, stochastic_rounding=False
+                ),
+                compress_weights=False,
+                compress_gradients=False,
+                momentum_log_nu=True,
+                momentum_log_nu_rowwise=rowwise,
+            )
+            _, s2, m = compressed_optimizer_step(
+                spec, params, grads, state, jax.random.key(0), comp
+            )
+            return np.asarray(s2[0].nu["k"]), m["optimizer_momentum"]
+
+        true_nu = 0.001 * np.asarray(g) ** 2
+        nu_row, m_row = run(True)
+        nu_tensor, m_tensor = run(False)
+        # zeros exact, positives positive, in both variants
+        assert np.all(nu_row[2] == 0.0) and np.all(nu_row[:2] > 0.0)
+        pos1 = true_nu[1] > 0
+        rel_row = np.abs(nu_row[1] - true_nu[1])[pos1] / true_nu[1][pos1]
+        rel_tensor = (
+            np.abs(nu_tensor[1] - true_nu[1])[pos1] / true_nu[1][pos1]
+        )
+        # the narrow row's buckets shrink by ~the spread ratio
+        assert np.median(rel_row) < 0.02
+        assert np.median(rel_row) < 0.3 * np.median(rel_tensor)
+        # 64 bits/row stats overhead counted
+        assert float(m_row[1]) > float(m_tensor[1])
+
     def test_momentum_skipped_when_sgd_no_momentum(self):
         spec = build_optimizer("sgd", 0.1, momentum=0.0)
         assert not spec.has_momentum
