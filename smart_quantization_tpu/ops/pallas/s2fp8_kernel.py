@@ -13,13 +13,18 @@ The squeeze ``|x|^alpha * 2^beta`` is computed as
 ``exp2(alpha * log2 |x| + beta)`` (and its inverse likewise); zeros and
 infinities are handled by explicit selects.
 
-The transcendentals themselves are POLYNOMIAL, not VPU intrinsics: the VPU
-exp2/log2 made the first version of this kernel transcendental-bound at
-~35% of the HBM roofline (BENCH r4).  log2 = integer exponent field + a
-degree-8 mantissa polynomial; exp2 = exponent-field assembly + a degree-5
-fraction polynomial; the dequant-side log2 of an e5m2 grid value is EXACT
-(two selects over the four possible mantissas) — the same
-integer-domain trick ``float_format.py`` plays for rounding.
+Transcendental strategy — a MEASURED negative result (round 5): the kernel
+sits at ~40% of roofline and the obvious CPU-style fix (replace VPU
+exp2/log2 with integer exponent-field splits + short polynomials, as
+``float_format.py`` does for rounding) makes it 2.2x SLOWER on this chip:
+the VPU's transcendental intrinsics are hardware-fast, while integer
+shifts, float<->int casts and compare/select chains are the expensive
+ops.  Even the 'hybrid' mode (EXACT select-based log2 of e5m2 grid values
++ the beta shift hoisted to one scalar — provably fewer transcendentals)
+loses to the plain intrinsic formulation.  All three modes are kept
+selectable on ``s2fp8_fused`` with the A/B numbers in its docstring; the
+remaining gap to roofline is VPU compute (4 transcendentals + the e5m2
+integer-domain round per element), not HBM traffic.
 """
 
 from __future__ import annotations
@@ -41,7 +46,12 @@ from smart_quantization_tpu.ops.pallas.float_kernel import (
 from smart_quantization_tpu.ops.s2fp8 import s2fp8_quantize_dequantize
 
 _LANES = 1024
-_MAX_BLOCK_ROWS = 512  # 2 MB blocks (see smaq_kernel.py)
+# 1 MB blocks: the polynomial transcendentals keep more live temporaries
+# than the VPU intrinsics they replaced — 512-row blocks hit the 16 MB
+# scoped-VMEM ceiling (20.1 MB measured); 256 rows fit with headroom, and
+# block size is bandwidth-neutral here (smaq_kernel measured 256 vs 512
+# indistinguishable within run-to-run drift)
+_MAX_BLOCK_ROWS = 256
 _MIN_PALLAS_ELEMS = 8192
 _F32_INF = float("inf")
 
@@ -123,11 +133,15 @@ def _exact_log2_e5m2(t):
 
 
 def _kernel(seed_ref, coef_ref, x_ref, y_ref, *, stochastic: bool,
-            check_inf: bool):
+            check_inf: bool, mode: str):
     pid = pl.program_id(0)
     alpha = coef_ref[0, 0]
     beta = coef_ref[0, 1]
     inv_alpha = coef_ref[0, 2]
+    unsqueeze_c = coef_ref[0, 3]  # 2^(-beta/alpha), precomputed by XLA
+    poly = mode == "poly"
+    log2_fn = _fast_log2 if poly else jnp.log2
+    exp2_fn = _fast_exp2 if poly else jnp.exp2
 
     xf = x_ref[:]
     bits = pltpu.bitcast(xf, jnp.uint32)
@@ -136,9 +150,9 @@ def _kernel(seed_ref, coef_ref, x_ref, y_ref, *, stochastic: bool,
 
     is_zero = x_abs == 0.0
     nonfinite = x_abs >= jnp.float32(_F32_INF)  # inf or nan magnitude
-    # guard the polynomial inputs away from the domain edges
+    # guard the transcendental inputs away from the domain edges
     safe_abs = jnp.where(is_zero | nonfinite, jnp.float32(1.0), x_abs)
-    squeezed = _fast_exp2(alpha * _fast_log2(safe_abs) + beta)
+    squeezed = exp2_fn(alpha * log2_fn(safe_abs) + beta)
     squeezed = jnp.where(is_zero, jnp.float32(0.0), squeezed)
     squeezed = jnp.where(nonfinite, x_abs, squeezed)
 
@@ -155,7 +169,14 @@ def _kernel(seed_ref, coef_ref, x_ref, y_ref, *, stochastic: bool,
     t_zero = t == 0.0
     t_nonfin = t >= jnp.float32(_F32_INF)
     safe_t = jnp.where(t_zero | t_nonfin, jnp.float32(1.0), t)
-    out = _fast_exp2((_exact_log2_e5m2(safe_t) - beta) * inv_alpha)
+    if mode == "intrinsic":
+        out = jnp.exp2((jnp.log2(safe_t) - beta) * inv_alpha)
+    else:
+        # dequant log2 of an e5m2 grid value is EXACT via two selects, and
+        # exp2((log2t - beta)/alpha) = exp2(log2t/alpha) * 2^(-beta/alpha)
+        # with the scalar factor hoisted out of the kernel entirely — one
+        # transcendental per element instead of two on the dequant side
+        out = exp2_fn(_exact_log2_e5m2(safe_t) * inv_alpha) * unsqueeze_c
     out = jnp.where(t_zero, jnp.float32(0.0), out)
     out = jnp.where(t_nonfin, t, out)
     y_ref[:] = pltpu.bitcast(
@@ -164,7 +185,7 @@ def _kernel(seed_ref, coef_ref, x_ref, y_ref, *, stochastic: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stochastic", "check_inf", "interpret")
+    jax.jit, static_argnames=("stochastic", "check_inf", "interpret", "mode")
 )
 def s2fp8_fused(
     x: jax.Array,
@@ -174,8 +195,26 @@ def s2fp8_fused(
     check_inf: bool = True,
     interpret: bool = False,
     seed: jax.Array | None = None,
+    mode: str = "intrinsic",
 ) -> jax.Array:
-    """Fused-kernel S2FP8; same contract as ``s2fp8_quantize_dequantize``."""
+    """Fused-kernel S2FP8; same contract as ``s2fp8_quantize_dequantize``.
+
+    ``mode`` picks the transcendental strategy.  A/B on this v5e (64M
+    elems, min-of-9 slope timing, 256-row blocks): 'intrinsic' 2.50 ms,
+    'hybrid' 3.58 ms, 'poly' 5.59 ms — so the DEFAULT is the plain
+    4-VPU-transcendental formulation.  The round-4 hypothesis that the
+    kernel was transcendental-LATENCY-bound was wrong in an instructive
+    way: this VPU's exp2/log2 are hardware-fast, and the exponent-field
+    tricks that beat libm on CPUs (integer shifts, compare/select chains,
+    float<->int casts) are what's actually expensive here.
+      - 'intrinsic' (default): VPU exp2/log2 everywhere.
+      - 'hybrid': exact select-based e5m2 log2 + hoisted 2^(-beta/alpha)
+        scalar on the dequant side (3 intrinsics/elem).  Slower despite
+        fewer transcendentals; edge case: a tensor whose MEAN
+        log-magnitude lies beyond 2^+-126 underflows the hoisted scalar.
+      - 'poly': polynomial transcendentals (exponent-field split + degree
+        8/5 polynomials) — for backends without fast intrinsics.
+    """
     orig_dtype = x.dtype
     orig_shape = x.shape
     n = x.size
@@ -192,7 +231,10 @@ def s2fp8_fused(
     safe_denom = jnp.where(denom == 0.0, jnp.float32(15.0), denom)
     alpha = 15.0 / safe_denom
     beta = -alpha * mu
-    coefs = jnp.stack([alpha, beta, 1.0 / alpha]).reshape(1, 3)
+    # 2^(-beta/alpha) = 2^mu: the dequant shift hoisted to ONE scalar exp2
+    coefs = jnp.stack(
+        [alpha, beta, 1.0 / alpha, jnp.exp2(mu)]
+    ).reshape(1, 4)
 
     if seed is not None:
         seed = jnp.asarray(seed, jnp.int32).reshape(1, 1)
@@ -213,14 +255,14 @@ def s2fp8_fused(
     x2d = xf.reshape(padded_rows, _LANES)
 
     kernel = functools.partial(
-        _kernel, stochastic=stochastic, check_inf=check_inf
+        _kernel, stochastic=stochastic, check_inf=check_inf, mode=mode
     )
     y2d = pl.pallas_call(
         kernel,
         grid=(padded_rows // block_rows,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
