@@ -395,9 +395,12 @@ class Trainer:
             )
             return task.eval_outputs(logits, labels)
 
-        if self.cfg.steps_per_call > 1 and self.mesh is None:
+        if self.cfg.steps_per_call > 1:
             # batch K val dispatches into one lax.scan call — per-call RPC
-            # latency (~30 ms on relayed backends) otherwise dominates eval
+            # latency (~30 ms on relayed backends) otherwise dominates eval.
+            # Works under meshes too: eval inputs stay replicated (exactly
+            # like the existing small-val-batch path) and GSPMD handles the
+            # sharded state, so grouping only changes dispatch count.
             def multi_eval(state: TrainState, inputs, labels):
                 def body(_, xs):
                     ins, lb = xs

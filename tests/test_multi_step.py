@@ -99,13 +99,17 @@ def test_grouped_steps_on_dp_mesh_match_single():
 
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices")
-    _, s1 = _fit_mesh(1)
-    _, s2 = _fit_mesh(2)  # two 2-groups + 1 leftover single
+    t1, s1 = _fit_mesh(1)
+    t2, s2 = _fit_mesh(2)  # two 2-groups + 1 leftover single
     assert int(s1.step) == int(s2.step) == 5
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-6
         )
+    # grouped eval under the mesh agrees with per-batch eval (deterministic)
+    t1.cfg.limit_val_batches = t2.cfg.limit_val_batches = 5.0
+    v1, v2 = t1.evaluate(s1), t2.evaluate(s2)
+    np.testing.assert_allclose(v1["val_loss"], v2["val_loss"], rtol=1e-5)
 
 
 def test_grouped_steps_on_fsdp_mesh_match_single():
